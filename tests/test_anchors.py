@@ -1,0 +1,60 @@
+import numpy as np
+
+from yolact_tpu import config as C
+from yolact_tpu.ops import anchors as A
+
+
+def test_feature_sizes_yolact_base():
+    cfg = C.get_config('yolact_base')
+    sizes = A.feature_map_sizes(cfg)
+    assert sizes == ((69, 69), (35, 35), (18, 18), (9, 9), (5, 5))
+
+
+def test_feature_sizes_darknet():
+    cfg = C.get_config('yolact_darknet53')
+    assert A.feature_map_sizes(cfg) == ((69, 69), (35, 35), (18, 18), (9, 9), (5, 5))
+
+
+def test_feature_sizes_im700():
+    cfg = C.get_config('yolact_im700')
+    sizes = A.feature_map_sizes(cfg)
+    # 700 -> conv1 350 -> pool 175 -> 175, 88, 44, 22 -> fpn 11, 6
+    assert sizes == ((88, 88), (44, 44), (22, 22), (11, 11), (6, 6))
+
+
+def test_num_priors_yolact_base():
+    cfg = C.get_config('yolact_base')
+    # 3 * (69^2 + 35^2 + 18^2 + 9^2 + 5^2) = 19248 (SURVEY.md §3.4)
+    assert A.num_priors(cfg) == 19248
+
+
+def test_priors_match_reference_algorithm():
+    """The vectorised generator must equal the loop transliteration."""
+    for name in ('yolact_base', 'yolact_plus_resnet50', 'yolact_resnet50_pascal'):
+        cfg = C.get_config(name)
+        sizes = A.feature_map_sizes(cfg)
+        for idx, (h, w) in enumerate(sizes):
+            slow = A._level_priors(h, w, cfg.backbone.pred_aspect_ratios[idx],
+                                   cfg.backbone.pred_scales[idx], cfg)
+            fast = A._fast_level_priors(h, w, cfg.backbone.pred_aspect_ratios[idx],
+                                        cfg.backbone.pred_scales[idx], cfg)
+            np.testing.assert_allclose(slow, fast, rtol=0, atol=0)
+
+
+def test_priors_values_spotcheck():
+    cfg = C.get_config('yolact_base')
+    pr = A.generate_priors(cfg)
+    # First prior: pixel (0,0) of the 69x69 map, ar=1, scale=24
+    np.testing.assert_allclose(pr[0], [0.5 / 69, 0.5 / 69, 24 / 550, 24 / 550],
+                               rtol=1e-6)
+    # Square-anchor bug: h == w for every prior in this config
+    np.testing.assert_allclose(pr[:, 2], pr[:, 3])
+    # Second prior at same pixel: ar=1/2 -> w = 24*sqrt(0.5)/550
+    np.testing.assert_allclose(pr[1, 2], 24 * np.sqrt(0.5) / 550, rtol=1e-6)
+
+
+def test_priors_plus_no_square():
+    cfg = C.get_config('yolact_plus_base')
+    pr = A.generate_priors(cfg)
+    assert pr.shape == (3 * 3 * (69**2 + 35**2 + 18**2 + 9**2 + 5**2), 4)
+    assert not np.allclose(pr[:, 2], pr[:, 3])

@@ -1,0 +1,202 @@
+"""Building-block layers shared by all YOLACT backbones and heads.
+
+flax.linen modules in NHWC layout (the TPU-friendly layout: the channel dim
+lands on the 128-lane axis so XLA tiles convs straight onto the MXU).
+
+Semantics notes for checkpoint parity with the PyTorch reference:
+  * Conv uses explicit symmetric integer padding like ``nn.Conv2d(padding=p)``.
+  * BatchNorm keeps separate running statistics ("batch_stats" collection);
+    inference always uses running stats, matching ``module.eval()``.
+  * ``resize_bilinear`` reproduces ``F.interpolate(mode='bilinear',
+    align_corners=False)`` (half-pixel centers) via ``jax.image.resize``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC) to `size`, half-pixel centers.
+
+    Matches torch ``F.interpolate(..., mode='bilinear', align_corners=False)``
+    which is what the reference uses everywhere (yolact.py:333, FPN; proto
+    upsample via InterpolateModule; output_utils.py:91).
+    """
+    if x.ndim == 4:
+        shape = (x.shape[0], size[0], size[1], x.shape[3])
+    elif x.ndim == 3:
+        shape = (size[0], size[1], x.shape[2])
+    else:
+        raise ValueError(x.shape)
+    return jax.image.resize(x, shape, method='linear')
+
+
+class Conv(nn.Module):
+    """2D conv with torch-style integer padding, NHWC/HWIO."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name='conv')(x)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv mirroring ``nn.ConvTranspose2d`` shape semantics."""
+    features: int
+    kernel_size: int = 2
+    stride: int = 2
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        # torch out = (in-1)*s - 2p + k ; flax transpose with padding
+        # ((k-1-p, k-1-p),...) over dilated input reproduces it for the
+        # configurations YOLACT uses (k=s=2, p=0).
+        p = self.kernel_size - 1 - self.padding
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            transpose_kernel=True,
+            name='conv')(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d equivalent. `train=True` uses batch statistics and updates
+    running stats (torch momentum 0.1); `train=False` uses running stats."""
+    momentum: float = 0.9  # flax convention: ra = momentum*ra + (1-m)*batch
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name='bn')(x)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                            dtype=self.dtype, name='gn')(x)
+
+
+def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int = 0,
+             ceil_mode: bool = False) -> jnp.ndarray:
+    """torch-style max pool (pads with -inf; floor or ceil output size)."""
+    pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+    if ceil_mode:
+        # add extra right/bottom padding so the window count rounds up
+        h, w = x.shape[1], x.shape[2]
+        def extra(size):
+            num = size + 2 * padding - kernel
+            return (-num) % stride if num % stride else 0
+        pads[1] = (padding, padding + extra(h))
+        pads[2] = (padding, padding + extra(w))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pads)
+
+
+class InterpolateModule(nn.Module):
+    """Bilinear scale-by-factor layer (reference ``layers/interpolate.py``)."""
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1] * self.scale_factor, x.shape[2] * self.scale_factor
+        return resize_bilinear(x, (h, w))
+
+
+class SpecNet(nn.Module):
+    """Interpreter for make_net-style layer specs.
+
+    Builds the conv / deconv / upsample / ReLU chain described by a tuple of
+    ``(channels, kernel, kwargs)`` entries — the same mini-language the
+    reference's ``make_net`` (``utils/functions.py:163-213``) interprets —
+    with a ReLU after every layer, optionally excluding the last.
+    Sub-layer names are `layers_{i}` where i is the index in the *expanded*
+    (layer, relu) sequence, matching torch's nn.Sequential numbering so the
+    checkpoint converter can map names 1:1.
+    """
+    spec: Tuple[Tuple[Any, ...], ...]
+    include_last_relu: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        seq_idx = 0
+        layers = []  # (name_idx, kind, module/None)
+        for entry in self.spec:
+            num, k = entry[0], entry[1]
+            kw = dict(entry[2]) if len(entry) > 2 else {}
+            if isinstance(num, str):
+                raise NotImplementedError('cat layers are not used by any '
+                                          'released YOLACT config')
+            if k > 0:
+                layers.append((seq_idx, 'conv', dict(
+                    features=num, kernel_size=k,
+                    stride=kw.get('stride', 1),
+                    padding=kw.get('padding', 0),
+                    dilation=kw.get('dilation', 1))))
+            elif num is None:
+                layers.append((seq_idx, 'interp', dict(scale_factor=-k)))
+            else:
+                layers.append((seq_idx, 'deconv', dict(
+                    features=num, kernel_size=-k,
+                    stride=kw.get('stride', -k),
+                    padding=kw.get('padding', 0))))
+            seq_idx += 1
+            layers.append((seq_idx, 'relu', None))
+            seq_idx += 1
+
+        if not self.include_last_relu and layers and layers[-1][1] == 'relu':
+            layers = layers[:-1]
+
+        for idx, kind, kw in layers:
+            if kind == 'conv':
+                x = Conv(dtype=self.dtype, name=f'layers_{idx}', **kw)(x)
+            elif kind == 'deconv':
+                x = ConvTranspose(dtype=self.dtype, name=f'layers_{idx}', **kw)(x)
+            elif kind == 'interp':
+                x = InterpolateModule(name=f'layers_{idx}', **kw)(x)
+            else:
+                x = jax.nn.relu(x)
+        return x
