@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolact_tpu.models.yolact import Yolact
+from yolact_tpu.ops.anchors import feature_map_sizes, num_priors
+
+from _tiny import tiny_resnet_config, tiny_darknet_config
+
+
+def _forward(cfg, train=False, seed=0):
+    model = Yolact(cfg)
+    x = jnp.asarray(np.random.RandomState(seed).rand(1, cfg.max_size,
+                                                     cfg.max_size, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), x, train=train)
+    if train:
+        out, _ = model.apply(variables, x, train=True,
+                             mutable=['batch_stats'])
+    else:
+        out = model.apply(variables, x, train=False)
+    return cfg, out
+
+
+def test_tiny_resnet_shapes():
+    cfg, out = _forward(tiny_resnet_config())
+    P = num_priors(cfg)
+    assert out['loc'].shape == (1, P, 4)
+    assert out['conf'].shape == (1, P, cfg.num_classes)
+    assert out['mask'].shape == (1, P, cfg.mask_dim)
+    assert out['priors'].shape == (P, 4)
+    # proto: src level P3 upsampled x2 by the interp layer in the spec
+    p3 = feature_map_sizes(cfg)[0]
+    assert out['proto'].shape == (1, 2 * p3[0], 2 * p3[1], cfg.mask_dim)
+    # coefficients are tanh-bounded
+    assert float(jnp.abs(out['mask']).max()) <= 1.0
+    assert float(out['proto'].min()) >= 0.0  # relu
+
+
+def test_tiny_resnet_train_branch():
+    cfg, out = _forward(tiny_resnet_config(), train=True)
+    sizes = feature_map_sizes(cfg)
+    assert out['segm'].shape == (1, sizes[0][0], sizes[0][1],
+                                 cfg.num_classes - 1)
+
+
+def test_tiny_darknet_shapes():
+    cfg, out = _forward(tiny_darknet_config())
+    P = num_priors(cfg)
+    assert out['loc'].shape == (1, P, 4)
+
+
+def test_feature_sizes_match_model():
+    cfg = tiny_resnet_config()
+    _, out = _forward(cfg)
+    P_expected = sum(h * w * 3 for h, w in feature_map_sizes(cfg))
+    assert out['loc'].shape[1] == P_expected
+
+
+def test_shared_head_params_shared():
+    cfg = tiny_resnet_config()
+    model = Yolact(cfg)
+    x = jnp.zeros((1, cfg.max_size, cfg.max_size, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables['params']
+    assert 'prediction_layers_0' in params
+    assert 'prediction_layers_1' not in params  # shared
+
+    nonshared = cfg.copy(share_prediction_module=False)
+    v2 = Yolact(nonshared).init(jax.random.PRNGKey(0), x)
+    assert 'prediction_layers_1' in v2['params']

@@ -1,0 +1,131 @@
+"""Fixed-shape test-time detection (Detect equivalent).
+
+The reference Detect (``layers/functions/detection.py:11-228``) is dynamic
+Python: boolean-mask filtering, per-image loops, and three NMS variants.  On
+TPU everything here is one fused fixed-shape program:
+
+  * the `conf > conf_thresh` candidate filter becomes score masking with a
+    ``-1`` sentinel (softmax scores are strictly positive, so ``score > 0``
+    is exactly "was a real candidate"),
+  * fast_nms (``detection.py:137-180``) is already a fixed-shape matrix
+    algorithm — per-class top-k, pairwise IoU, upper-triangular max — and is
+    expressed directly in XLA ops (the IoU matrix rides the MXU),
+  * the final cap keeps ``max_num_detections`` (100) padded detections per
+    image with a validity mask instead of a ragged list.
+
+Outputs are 0-based foreground class ids like the reference (0 = person).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from yolact_tpu.config import YolactConfig
+from yolact_tpu.ops.boxes import decode, jaccard
+
+
+class Detections(NamedTuple):
+    """Padded per-image detections; `valid` marks real entries."""
+    boxes: jnp.ndarray    # [B, D, 4]  relative point form
+    masks: jnp.ndarray    # [B, D, mask_dim]  coefficients
+    classes: jnp.ndarray  # [B, D]  int32, 0-based foreground class
+    scores: jnp.ndarray   # [B, D]  float32 (-1 for padding)
+    valid: jnp.ndarray    # [B, D]  bool
+    proto: jnp.ndarray    # [B, Hp, Wp, mask_dim]
+
+
+def _triu_max(iou: jnp.ndarray) -> jnp.ndarray:
+    """Column-max of the strict upper triangle: max IoU of each det with any
+    higher-scoring det (detection.py:162-166)."""
+    n = iou.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    upper = (cols > rows).astype(iou.dtype)
+    return jnp.max(iou * upper, axis=-2)
+
+
+def _fast_nms_single(cfg: YolactConfig, boxes, coeffs, scores,
+                     second_threshold: bool = False):
+    """boxes [P,4], coeffs [P,Md], scores [C-1, P] (sentinel -1 where the
+    prior failed the candidate filter)."""
+    top_k = min(cfg.nms_top_k, scores.shape[-1])
+    sorted_scores, idx = jax.lax.top_k(scores, top_k)      # [C-1, top_k]
+    boxes_c = boxes[idx]                                   # [C-1, top_k, 4]
+    coeffs_c = coeffs[idx]
+
+    iou = jaccard(boxes_c, boxes_c)                        # [C-1, k, k]
+    iou_max = _triu_max(iou)
+
+    keep = (iou_max <= cfg.nms_thresh) & (sorted_scores > 0)
+    if second_threshold:
+        keep &= sorted_scores > cfg.nms_conf_thresh
+
+    flat_scores = jnp.where(keep, sorted_scores, -1.0).reshape(-1)
+    n_out = min(cfg.max_num_detections, flat_scores.shape[0])
+    out_scores, flat_idx = jax.lax.top_k(flat_scores, n_out)
+
+    classes = flat_idx // top_k
+    out_boxes = boxes_c.reshape(-1, 4)[flat_idx]
+    out_coeffs = coeffs_c.reshape(-1, coeffs_c.shape[-1])[flat_idx]
+    valid = out_scores > 0
+    return out_boxes, out_coeffs, classes, out_scores, valid
+
+
+def _cc_fast_nms_single(cfg: YolactConfig, boxes, coeffs, scores):
+    """Class-collapsed fast NMS (detection.py:111-135)."""
+    best_scores = jnp.max(scores, axis=0)                  # [P]
+    classes_all = jnp.argmax(scores, axis=0)
+    sorted_scores, idx = jax.lax.top_k(
+        best_scores, min(cfg.nms_top_k, best_scores.shape[0]))
+    boxes_c = boxes[idx]
+    iou_max = _triu_max(jaccard(boxes_c, boxes_c))
+    keep = (iou_max <= cfg.nms_thresh) & (sorted_scores > 0)
+
+    flat_scores = jnp.where(keep, sorted_scores, -1.0)
+    n_out = min(cfg.max_num_detections, flat_scores.shape[0])
+    out_scores, sel = jax.lax.top_k(flat_scores, n_out)
+    out_idx = idx[sel]
+    return (boxes[out_idx], coeffs[out_idx],
+            classes_all[out_idx].astype(jnp.int32), out_scores,
+            out_scores > 0)
+
+
+def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
+           use_fast_nms: bool = True,
+           use_cross_class_nms: bool = False,
+           second_threshold: bool = False) -> Detections:
+    """Batched fixed-shape detection over raw model outputs.
+
+    Applies the eval-branch softmax (yolact.py:664-674) then NMS.  The
+    traditional (greedy per-class) NMS lives host-side in
+    ``yolact_tpu.eval.traditional_nms`` because it is sequential; the default
+    and benchmark path is fast_nms, matching the reference defaults
+    (eval.py:871-872 sets use_fast_nms=True).
+    """
+    loc = pred_outs['loc'].astype(jnp.float32)
+    conf = pred_outs['conf'].astype(jnp.float32)
+    coeffs = pred_outs['mask'].astype(jnp.float32)
+    priors = pred_outs['priors'].astype(jnp.float32)
+    proto = pred_outs['proto'].astype(jnp.float32)
+
+    conf = jax.nn.softmax(conf, axis=-1)
+    scores_all = jnp.swapaxes(conf[..., 1:], 1, 2)          # [B, C-1, P]
+
+    # candidate filter: max class score over foreground > conf_thresh
+    cand = jnp.max(scores_all, axis=1) > cfg.nms_conf_thresh  # [B, P]
+    scores_all = jnp.where(cand[:, None, :], scores_all, -1.0)
+
+    boxes = decode(loc, priors[None], cfg.use_yolo_regressors)  # [B, P, 4]
+
+    if use_cross_class_nms:
+        fn = lambda b, c, s: _cc_fast_nms_single(cfg, b, c, s)
+    else:
+        fn = lambda b, c, s: _fast_nms_single(cfg, b, c, s, second_threshold)
+    out_boxes, out_coeffs, classes, scores, valid = jax.vmap(fn)(
+        boxes, coeffs, scores_all)
+
+    return Detections(out_boxes, out_coeffs, classes.astype(jnp.int32),
+                      scores, valid, proto)

@@ -1,0 +1,106 @@
+"""Post-processing: mask assembly + final output formatting.
+
+Device half (:func:`postprocess_device`): prototype combination
+``sigmoid(proto @ coeffs.T)`` + crop-by-box at prototype resolution — the
+``proto @ masks.t()`` / crop path of the reference ``postprocess``
+(``layers/output_utils.py:60-88``) as one fused fixed-shape XLA program
+(matmul on the MXU, crop as an index-compare mask).
+
+Host half (:func:`finish_masks`): per-image bilinear upsample to the original
+(h, w) + 0.5 binarisation (``output_utils.py:91-99``), done with cv2 because
+eval image sizes vary per image (dynamic shapes would defeat jit); the
+benchmark/video path keeps everything on device at a fixed size instead via
+:func:`upsample_masks_device`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolact_tpu.config import MaskType, YolactConfig
+from yolact_tpu.detect.detection import Detections
+from yolact_tpu.ops.boxes import crop, sanitize_coordinates
+
+
+def postprocess_device(cfg: YolactConfig, dets: Detections,
+                       crop_masks: bool = True,
+                       score_threshold: float = 0.0):
+    """Assemble instance masks at prototype resolution for padded detections.
+
+    Returns (masks [B, D, Hp, Wp] sigmoid-activated & cropped, dets with
+    score-threshold applied to `valid`).
+    """
+    proto = dets.proto            # [B, Hp, Wp, Md]
+    coeffs = dets.masks           # [B, D, Md]
+
+    def per_image(proto_i, coeffs_i, boxes_i):
+        m = jnp.einsum('hwc,dc->hwd', proto_i, coeffs_i,
+                       preferred_element_type=jnp.float32)
+        if cfg.mask_proto_mask_activation == 'sigmoid':
+            m = jax.nn.sigmoid(m)
+        elif cfg.mask_proto_mask_activation == 'relu':
+            m = jax.nn.relu(m)
+        if crop_masks and cfg.mask_proto_crop:
+            m = crop(m, boxes_i)
+        return jnp.transpose(m, (2, 0, 1))   # [D, Hp, Wp]
+
+    masks = jax.vmap(per_image)(proto, coeffs, dets.boxes)
+
+    valid = dets.valid
+    if score_threshold > 0:
+        valid = valid & (dets.scores > score_threshold)
+    return masks, dets._replace(valid=valid)
+
+
+def rescore_with_maskiou(cfg: YolactConfig, maskiou_apply, masks, dets):
+    """YOLACT++ mask re-scoring (output_utils.py:79-88): run the maskiou net
+    on assembled proto-res masks and multiply into the mask scores."""
+    B, D, Hp, Wp = masks.shape
+    flat = masks.reshape(B * D, Hp, Wp, 1)
+    iou_p = maskiou_apply(flat)                     # [B*D, C-1]
+    iou_p = iou_p.reshape(B, D, -1)
+    cls = jnp.clip(dets.classes, 0, iou_p.shape[-1] - 1)
+    sel = jnp.take_along_axis(iou_p, cls[..., None], axis=-1)[..., 0]
+    mask_scores = dets.scores * sel
+    return mask_scores
+
+
+def upsample_masks_device(masks: jnp.ndarray, size: Tuple[int, int],
+                          binarize: bool = True) -> jnp.ndarray:
+    """Fixed-size bilinear upsample + binarize on device ([B, D, h, w])."""
+    B, D, Hp, Wp = masks.shape
+    out = jax.image.resize(masks, (B, D, size[0], size[1]), method='linear')
+    if binarize:
+        out = (out > 0.5)
+    return out
+
+
+def sanitize_boxes_absolute(boxes: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
+    """Relative point-form boxes -> absolute integer pixel boxes
+    (output_utils.py:97-99)."""
+    x1, x2 = sanitize_coordinates(boxes[..., 0], boxes[..., 2], w, cast=False)
+    y1, y2 = sanitize_coordinates(boxes[..., 1], boxes[..., 3], h, cast=False)
+    return jnp.stack([x1, y1, x2, y2], axis=-1).astype(jnp.int32)
+
+
+def finish_masks(masks_np: np.ndarray, w: int, h: int,
+                 score_mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Host: upsample proto-res masks [D, Hp, Wp] to [D, h, w] bool.
+
+    cv2 INTER_LINEAR matches torch bilinear align_corners=False
+    (output_utils.py:91-94).
+    """
+    import cv2
+    D = masks_np.shape[0]
+    out = np.zeros((D, h, w), dtype=bool)
+    for i in range(D):
+        if score_mask is not None and not score_mask[i]:
+            continue
+        up = cv2.resize(masks_np[i].astype(np.float32), (w, h),
+                        interpolation=cv2.INTER_LINEAR)
+        out[i] = up > 0.5
+    return out

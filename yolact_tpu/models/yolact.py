@@ -1,0 +1,155 @@
+"""Top-level YOLACT model: backbone -> FPN -> (protonet ‖ heads).
+
+Functional equivalent of the reference ``Yolact`` module
+(``yolact.py:379-676``) re-designed for XLA: static wiring decided entirely by
+the config at construction, NHWC layout, fixed shapes, no runtime config
+mutation.  The eval-branch score transform + detection live in
+``yolact_tpu.detect`` as pure functions rather than inside forward.
+
+Input is NHWC float32/bf16, already preprocessed (see data/transforms).
+Output dict (train mode):
+  loc    [B, P, 4]      raw box regressions
+  conf   [B, P, C]      raw class logits
+  mask   [B, P, 32]     tanh mask coefficients
+  priors [P, 4]         center-size anchors (constant)
+  proto  [B, 138, 138, 32]  prototypes (relu)
+  segm   [B, C-1, Hs, Ws]   semantic-seg aux logits (train only)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from yolact_tpu.config import MaskType, YolactConfig, backbone_channels
+from yolact_tpu.models.darknet import DarkNetBackbone
+from yolact_tpu.models.fpn import FPN
+from yolact_tpu.models.heads import FastMaskIoUNet, PredictionHead, ProtoNet
+from yolact_tpu.models.layers import Conv
+from yolact_tpu.models.resnet import ResNetBackbone
+from yolact_tpu.models.vgg import VGGBackbone
+from yolact_tpu.ops.anchors import generate_priors
+
+
+def _build_backbone(cfg: YolactConfig, dtype):
+    bb = cfg.backbone
+    num_stages = max(bb.selected_layers) + 1
+    if bb.type in ('resnet', 'resnet_gn'):
+        layers = tuple(bb.args[0])
+        dcn_layers = tuple(bb.args[1]) if len(bb.args) > 1 else (0, 0, 0, 0)
+        dcn_interval = bb.args[2] if len(bb.args) > 2 else 1
+        return ResNetBackbone(
+            layers=layers, dcn_layers=dcn_layers, dcn_interval=dcn_interval,
+            num_stages=max(num_stages, len(layers)),
+            norm='gn' if bb.type == 'resnet_gn' else 'bn',
+            dtype=dtype, name='backbone')
+    if bb.type == 'darknet':
+        layers = tuple(bb.args[0])
+        return DarkNetBackbone(layers=layers,
+                               num_stages=max(num_stages, len(layers)),
+                               dtype=dtype, name='backbone')
+    if bb.type == 'vgg':
+        arch, extra_args, norm_layers = bb.args
+        return VGGBackbone(arch=arch, extra_args=extra_args,
+                           norm_layers=tuple(norm_layers),
+                           num_stages=max(num_stages, len(arch)),
+                           dtype=dtype, name='backbone')
+    raise ValueError(bb.type)
+
+
+class Yolact(nn.Module):
+    cfg: YolactConfig
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.cfg.compute_dtype)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = self.dtype
+        x = x.astype(dtype)
+
+        outs = _build_backbone(cfg, dtype)(x, train)
+
+        if cfg.fpn is not None:
+            selected = tuple(outs[i] for i in cfg.backbone.selected_layers)
+            outs = FPN(cfg.fpn, dtype=dtype, name='fpn')(selected)
+        else:
+            outs = tuple(outs[i] for i in cfg.backbone.selected_layers)
+
+        proto_out = None
+        if cfg.mask_type == MaskType.LINCOMB and cfg.eval_mask_branch:
+            proto_x = x if cfg.mask_proto_src is None else outs[cfg.mask_proto_src]
+            proto_out = ProtoNet(cfg, dtype=dtype, name='proto')(proto_x)
+
+        # One head instance; repeated application shares parameters when
+        # share_prediction_module is set, otherwise one instance per level.
+        num_priors_per_pos = sum(
+            len(ars) * len(cfg.backbone.pred_scales[0])
+            for ars in cfg.backbone.pred_aspect_ratios[0])
+
+        preds = []
+        shared_head = None
+        for idx in range(len(outs)):
+            if cfg.share_prediction_module:
+                if shared_head is None:
+                    shared_head = PredictionHead(
+                        cfg, num_priors_per_pos, dtype=dtype,
+                        name='prediction_layers_0')
+                head = shared_head
+            else:
+                n_p = sum(len(ars) * len(cfg.backbone.pred_scales[idx])
+                          for ars in cfg.backbone.pred_aspect_ratios[idx])
+                head = PredictionHead(cfg, n_p, dtype=dtype,
+                                      name=f'prediction_layers_{idx}')
+            preds.append(head(outs[idx], head_index=idx))
+
+        pred_outs: Dict[str, Any] = {
+            k: jnp.concatenate([p[k] for p in preds], axis=1)
+            for k in preds[0]}
+
+        pred_outs['priors'] = jnp.asarray(
+            generate_priors(cfg, x.shape[1]), jnp.float32)
+
+        if proto_out is not None:
+            pred_outs['proto'] = proto_out
+
+        if train:
+            if cfg.use_class_existence_loss:
+                feat = outs[-1].mean(axis=(1, 2))
+                pred_outs['classes'] = nn.Dense(
+                    cfg.num_classes - 1, dtype=dtype,
+                    name='class_existence_fc')(feat)
+            if cfg.use_semantic_segmentation_loss:
+                pred_outs['segm'] = Conv(
+                    cfg.num_classes - 1, 1, 1, 0, dtype=dtype,
+                    name='semantic_seg_conv')(outs[0])
+        return pred_outs
+
+
+class MaskIoUHead(nn.Module):
+    """Standalone maskiou net so eval can apply it to assembled masks
+    (postprocess path, output_utils.py:79-88)."""
+    cfg: YolactConfig
+
+    @nn.compact
+    def __call__(self, masks):
+        return FastMaskIoUNet(self.cfg, name='maskiou')(masks)
+
+
+def make_model(cfg: YolactConfig) -> Yolact:
+    return Yolact(cfg)
+
+
+def init_params(cfg: YolactConfig, seed: int = 0, img_size: Optional[int] = None,
+                train: bool = True):
+    """Initialise model variables with a dummy batch (shape-only trace)."""
+    model = Yolact(cfg)
+    size = img_size or cfg.max_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    return model, model.init(jax.random.PRNGKey(seed), dummy, train=train)

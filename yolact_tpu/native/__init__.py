@@ -1,0 +1,105 @@
+"""ctypes loader for the native helper library (native/yolact_native.cpp).
+
+Builds the shared library on first use with g++ if it isn't present; every
+caller falls back to pure numpy when no toolchain is available, so the
+framework works (more slowly) without it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_native = None
+_tried = False
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'native')
+
+
+class Native:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.rle_encode_counts.restype = ctypes.c_int64
+        lib.rle_encode_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
+        lib.rle_decode_counts.restype = ctypes.c_int64
+        lib.rle_decode_counts.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32)]
+        lib.rle_decode_mask.restype = ctypes.c_int32
+        lib.rle_decode_mask.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.greedy_nms.restype = ctypes.c_int64
+        lib.greedy_nms.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int64)]
+
+    def rle_encode_counts(self, counts: np.ndarray) -> bytes:
+        counts = np.ascontiguousarray(counts, np.int64)
+        out = ctypes.create_string_buffer(8 * max(1, len(counts)))
+        n = self._lib.rle_encode_counts(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(counts), out)
+        return out.raw[:n]
+
+    def rle_decode_counts(self, s: bytes) -> np.ndarray:
+        out = np.empty(max(1, len(s)), np.uint32)
+        n = self._lib.rle_decode_counts(
+            s, len(s), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out[:n].copy()
+
+    def rle_decode_mask(self, s: bytes, h: int, w: int) -> np.ndarray:
+        mask = np.empty(h * w, np.uint8)
+        self._lib.rle_decode_mask(
+            s, len(s), h, w,
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return mask.reshape((h, w), order='F').astype(bool)
+
+    def greedy_nms(self, dets: np.ndarray, thresh: float) -> np.ndarray:
+        """dets [n, 5] float32 (x1,y1,x2,y2,score) -> kept indices."""
+        dets = np.ascontiguousarray(dets, np.float32)
+        keep = np.empty(len(dets), np.int64)
+        n = self._lib.greedy_nms(
+            dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(dets), thresh,
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return keep[:n].copy()
+
+
+def _build() -> Optional[str]:
+    so = os.path.join(_SRC_DIR, 'libyolact_native.so')
+    src = os.path.join(_SRC_DIR, 'yolact_native.cpp')
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(['g++', '-O3', '-fPIC', '-std=c++17', '-shared',
+                        '-o', so, src], check=True, capture_output=True)
+        return so
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def get_native() -> Optional[Native]:
+    global _native, _tried
+    if _tried:
+        return _native
+    with _lock:
+        if _tried:
+            return _native
+        so = _build()
+        if so is not None:
+            try:
+                _native = Native(ctypes.CDLL(so))
+            except OSError:
+                _native = None
+        _tried = True
+    return _native

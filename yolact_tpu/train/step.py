@@ -1,0 +1,133 @@
+"""jit/pjit training step.
+
+Replaces the reference's iteration core (``train.py:265-366``): SGD with
+momentum + weight decay (identical update rule to ``optim.SGD``), the
+warmup/step-decay schedule, the non-finite-loss guard (``train.py:312-318``
+skips the optimizer step but the JAX version needs no explicit backward to
+free memory), and DataParallel loss averaging — here the batch dim is sharded
+over a 1-D mesh and XLA's SPMD partitioner inserts the gradient all-reduce
+over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from yolact_tpu.config import YolactConfig
+from yolact_tpu.models.yolact import MaskIoUHead, Yolact
+from yolact_tpu.train.loss import multibox_loss
+from yolact_tpu.train.schedule import learning_rate
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_optimizer(cfg: YolactConfig) -> optax.GradientTransformation:
+    """torch-SGD-equivalent: buf = m*buf + (g + wd*w); p -= lr*buf
+    (train.py:216-217)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        optax.scale_by_learning_rate(lambda step: learning_rate(cfg, step)),
+    )
+
+
+def _freeze_bn_grads(grads):
+    """Zero gradients of BatchNorm scale/bias (freeze_bn, yolact.py:555-562)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    def zero_bn(path, g):
+        keys = [getattr(p, 'key', '') for p in path]
+        return jnp.zeros_like(g) if 'bn' in keys else g
+    return jax.tree_util.tree_map_with_path(zero_bn, grads)
+
+
+def create_train_state(cfg: YolactConfig, seed: int = 0,
+                       img_size: Optional[int] = None) -> Tuple[Any, TrainState]:
+    model = Yolact(cfg)
+    size = img_size or cfg.max_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), dummy, train=True)
+    params = {'model': variables['params']}
+    if cfg.use_maskiou:
+        miou = MaskIoUHead(cfg)
+        Hp = 2 * (size // 4)  # proto resolution for standard configs
+        mv = miou.init(jax.random.PRNGKey(seed + 1),
+                       jnp.zeros((1, Hp, Hp, 1), jnp.float32))
+        params['maskiou'] = mv['params']
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get('batch_stats', {}),
+                       opt_state=tx.init(params), tx=tx)
+    return model, state
+
+
+def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
+               batch: Dict, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step.  Pure function of (state, batch, rng); jit/pjit-ready."""
+    maskiou_model = MaskIoUHead(cfg) if cfg.use_maskiou else None
+    bn_train = not cfg.freeze_bn
+
+    def loss_fn(params):
+        out = model.apply(
+            {'params': params['model'], 'batch_stats': state.batch_stats},
+            batch['image'], train=True,
+            mutable=['batch_stats'] if bn_train else [])
+        if bn_train:
+            preds, new_model_state = out
+            new_stats = new_model_state['batch_stats']
+        else:
+            preds, new_stats = out, state.batch_stats
+
+        maskiou_apply = None
+        if maskiou_model is not None:
+            maskiou_apply = lambda m: maskiou_model.apply(
+                {'params': params['maskiou']}, m)
+        losses, _ = multibox_loss(cfg, rng, preds, batch,
+                                  maskiou_apply=maskiou_apply)
+        total = sum(losses.values())
+        return total, (losses, new_stats)
+
+    (total, (losses, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    if cfg.freeze_bn:
+        grads = _freeze_bn_grads(grads)
+
+    # non-finite guard: keep old state if the loss exploded (train.py:312-318)
+    finite = jnp.isfinite(total)
+    grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)),
+                         grads)
+    new_state = state.apply_gradients(grads)
+    # iteration still advances on a skipped step, like the reference loop
+    new_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                             new_state.replace(batch_stats=new_stats),
+                             state.replace(batch_stats=new_stats,
+                                           step=new_state.step))
+    losses = dict(losses, total=total,
+                  lr=learning_rate(cfg, state.step))
+    return new_state, losses
+
+
+def make_jitted_train_step(cfg: YolactConfig, model: Yolact, mesh=None,
+                           donate: bool = True):
+    """jit the step; with a mesh, inputs arrive batch-sharded and params
+    replicated (see parallel.mesh)."""
+    fn = partial(train_step, cfg, model)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
