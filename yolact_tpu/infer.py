@@ -1,0 +1,110 @@
+"""End-to-end inference pipeline: one jitted XLA program per batch shape.
+
+The reference eval path hops between GPU kernels and Python
+(``eval.py:932-975``): FastBaseTransform, forward, per-image Detect loops,
+postprocess.  Here preprocess (resize + normalize + BGR->RGB,
+``augmentations.py:616-658``), the conv trunk, softmax, fixed-shape
+Fast-NMS, and prototype mask assembly all live in ONE jit so the only host
+work per frame is JPEG decode and final mask upsampling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolact_tpu.config import MEANS, STD, YolactConfig
+from yolact_tpu.detect.detection import Detections, detect
+from yolact_tpu.detect.postprocess import (postprocess_device,
+                                           rescore_with_maskiou,
+                                           upsample_masks_device)
+from yolact_tpu.models.yolact import MaskIoUHead, Yolact
+
+
+def preprocess_device(cfg: YolactConfig, img: jnp.ndarray,
+                      out_size: Optional[int] = None) -> jnp.ndarray:
+    """Device-side FastBaseTransform: [B, H, W, 3] BGR float [0,255] ->
+    normalized RGB [B, S, S, 3] (augmentations.py:616-658)."""
+    size = out_size or cfg.max_size
+    B = img.shape[0]
+    img = img.astype(jnp.float32)
+    if img.shape[1] != size or img.shape[2] != size:
+        img = jax.image.resize(img, (B, size, size, 3), method='linear')
+    t = cfg.backbone.transform
+    mean = jnp.asarray(MEANS, jnp.float32)
+    std = jnp.asarray(STD, jnp.float32)
+    if t.normalize:
+        img = (img - mean) / std
+    elif t.subtract_means:
+        img = img - mean
+    elif t.to_float:
+        img = img / 255.0
+    if t.channel_order != 'RGB':
+        raise NotImplementedError
+    return img[..., ::-1]  # BGR -> RGB
+
+
+class InferenceOutput(NamedTuple):
+    boxes: jnp.ndarray       # [B, D, 4] relative point form
+    classes: jnp.ndarray     # [B, D] int32 (0-based foreground)
+    scores: jnp.ndarray      # [B, D]
+    masks: jnp.ndarray       # [B, D, Hp, Wp] proto-res sigmoid masks (cropped)
+    valid: jnp.ndarray       # [B, D] bool
+    mask_scores: Optional[jnp.ndarray] = None  # [B, D] maskiou-rescored
+
+
+def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
+                       images: jnp.ndarray, preprocess: bool = True,
+                       maskiou_variables: Optional[Dict] = None,
+                       use_fast_nms: bool = True,
+                       use_cross_class_nms: bool = False,
+                       score_threshold: float = 0.0) -> InferenceOutput:
+    """The full device program (jit me)."""
+    x = preprocess_device(cfg, images) if preprocess else images
+    preds = model.apply(variables, x, train=False)
+    dets = detect(cfg, preds, use_fast_nms=use_fast_nms,
+                  use_cross_class_nms=use_cross_class_nms)
+    masks, dets = postprocess_device(cfg, dets,
+                                     score_threshold=score_threshold)
+    mask_scores = None
+    if cfg.use_maskiou and maskiou_variables is not None:
+        miou = MaskIoUHead(cfg)
+        mask_scores = rescore_with_maskiou(
+            cfg, lambda m: miou.apply(maskiou_variables, m), masks, dets)
+    return InferenceOutput(dets.boxes, dets.classes, dets.scores, masks,
+                           dets.valid, mask_scores)
+
+
+class Pipeline:
+    """Convenience wrapper owning a jitted program per batch size."""
+
+    def __init__(self, cfg: YolactConfig, variables: Dict,
+                 maskiou_variables: Optional[Dict] = None,
+                 use_fast_nms: bool = True,
+                 use_cross_class_nms: bool = False,
+                 preprocess: bool = True,
+                 score_threshold: float = 0.0):
+        self.cfg = cfg
+        self.model = Yolact(cfg)
+        self.variables = variables
+        self.maskiou_variables = maskiou_variables
+        self._fn = jax.jit(partial(
+            forward_and_detect, cfg, self.model,
+            preprocess=preprocess,
+            use_fast_nms=use_fast_nms,
+            use_cross_class_nms=use_cross_class_nms,
+            score_threshold=score_threshold))
+
+    def __call__(self, images) -> InferenceOutput:
+        return self._fn(self.variables, images=jnp.asarray(images),
+                        maskiou_variables=self.maskiou_variables)
+
+
+def random_variables(cfg: YolactConfig, seed: int = 0):
+    model = Yolact(cfg)
+    dummy = jnp.zeros((1, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy, train=False)
