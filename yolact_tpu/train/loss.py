@@ -54,9 +54,10 @@ def _log_softmax(x):
 
 
 def _resize_masks(masks, size):
-    """[G, S, S] float -> [G, h, w] bilinear (align_corners=False)."""
-    G = masks.shape[0]
-    return jax.image.resize(masks, (G, size[0], size[1]), method='linear')
+    """[G, S, S] float -> [G, h, w], exact torch bilinear (no antialias) —
+    matches F.interpolate in multibox_loss.py:518-523, 225-228."""
+    from yolact_tpu.ops.resize import resize_bilinear_torch
+    return resize_bilinear_torch(masks, size)
 
 
 def ohem_conf_loss(cfg: YolactConfig, conf_data, conf_t, pos):
