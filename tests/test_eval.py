@@ -1,0 +1,168 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yolact_tpu.eval.evaluator import (APDataObject, badhash, calc_map,
+                                       make_ap_data, prep_metrics,
+                                       IOU_THRESHOLDS)
+
+
+def test_badhash_deterministic():
+    assert badhash(42) == badhash(42)
+    assert badhash(1) != badhash(2)
+
+
+def test_ap_perfect_detection():
+    ap = APDataObject()
+    ap.add_gt_positives(2)
+    ap.push(0.9, True)
+    ap.push(0.8, True)
+    assert ap.get_ap() == pytest.approx(1.0)
+
+
+def test_ap_no_detections():
+    ap = APDataObject()
+    ap.add_gt_positives(3)
+    assert ap.get_ap() == 0
+
+
+def test_ap_half_precision():
+    # 1 TP at high score, 1 FP at lower score, 2 gt
+    ap = APDataObject()
+    ap.add_gt_positives(2)
+    ap.push(0.9, True)
+    ap.push(0.8, False)
+    # recall reaches 0.5 with precision 1.0; beyond that precision 0
+    # 101-point: x in [0, 0.5] -> 1.0 (51 points), rest 0
+    assert ap.get_ap() == pytest.approx(51 / 101)
+
+
+def test_prep_metrics_perfect():
+    num_classes = 3
+    ap_data = make_ap_data(num_classes)
+    h = w = 32
+    masks = np.zeros((2, h, w), bool)
+    masks[0, 2:10, 2:10] = True
+    masks[1, 15:25, 15:25] = True
+    boxes = np.array([[2, 2, 10, 10], [15, 15, 25, 25]], np.float32)
+    classes = [0, 1]
+    scores = [0.9, 0.8]
+    prep_metrics(ap_data, classes, scores, scores, boxes, masks,
+                 boxes.copy(), classes, masks.copy(), num_crowd=0)
+    maps = calc_map(ap_data, ['a', 'b', 'c'], print_table=False)
+    assert maps['box']['all'] == pytest.approx(100.0)
+    assert maps['mask']['all'] == pytest.approx(100.0)
+
+
+def test_prep_metrics_crowd_ignored():
+    """A false positive overlapping only a crowd region must not count."""
+    num_classes = 2
+    ap_data = make_ap_data(num_classes)
+    h = w = 32
+    # gt: one real object + one crowd (last)
+    gt_masks = np.zeros((2, h, w), bool)
+    gt_masks[0, 2:10, 2:10] = True
+    gt_masks[1, 20:30, 20:30] = True
+    gt_boxes = np.array([[2, 2, 10, 10], [20, 20, 30, 30]], np.float32)
+    gt_classes = [0, 0]
+    # dets: one perfect match + one det inside the crowd area
+    det_masks = np.zeros((2, h, w), bool)
+    det_masks[0, 2:10, 2:10] = True
+    det_masks[1, 21:29, 21:29] = True
+    det_boxes = np.array([[2, 2, 10, 10], [21, 21, 29, 29]], np.float32)
+    prep_metrics(ap_data, [0, 0], [0.9, 0.95], [0.9, 0.95], det_boxes,
+                 det_masks, gt_boxes, gt_classes, gt_masks, num_crowd=1)
+    maps = calc_map(ap_data, ['a', 'b'], print_table=False)
+    assert maps['box']['all'] == pytest.approx(100.0)
+
+    # same scene without the crowd flag: the second det is now an FP
+    ap_data2 = make_ap_data(num_classes)
+    prep_metrics(ap_data2, [0, 0], [0.9, 0.95], [0.9, 0.95], det_boxes,
+                 det_masks, gt_boxes[:1], gt_classes[:1], gt_masks[:1],
+                 num_crowd=0)
+    maps2 = calc_map(ap_data2, ['a', 'b'], print_table=False)
+    assert maps2['box']['all'] < 100.0
+
+
+def _write_tiny_coco(tmp_path, n_images=3, size=64):
+    """Synthesize a minimal COCO dataset on disk (images + instances json)."""
+    import cv2
+    img_dir = tmp_path / 'images'
+    img_dir.mkdir(exist_ok=True)
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        img_id = 100 + i
+        img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f'{img_id:012d}.jpg'), img)
+        images.append({'id': img_id, 'file_name': f'{img_id:012d}.jpg',
+                       'width': size, 'height': size})
+        for _ in range(2):
+            x, y = int(rng.randint(0, size // 2)), int(rng.randint(0, size // 2))
+            bw, bh = int(rng.randint(8, size // 2)), int(rng.randint(8, size // 2))
+            poly = [x, y, x + bw, y, x + bw, y + bh, x, y + bh]
+            annotations.append({
+                'id': ann_id, 'image_id': img_id, 'category_id': 1,
+                'bbox': [x, y, bw, bh], 'area': bw * bh, 'iscrowd': 0,
+                'segmentation': [poly]})
+            ann_id += 1
+    cats = [{'id': 1, 'name': 'thing'}]
+    info = {'images': images, 'annotations': annotations, 'categories': cats}
+    json_path = tmp_path / 'instances.json'
+    json_path.write_text(json.dumps(info))
+    return str(img_dir), str(json_path)
+
+
+@pytest.fixture(scope='module')
+def tiny_eval_setup(tmp_path_factory):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _tiny import tiny_resnet_config
+    tmp = tmp_path_factory.mktemp('coco')
+    img_dir, json_path = _write_tiny_coco(tmp)
+    cfg = tiny_resnet_config()
+    cfg = cfg.copy(dataset=cfg.dataset.copy(
+        valid_images=img_dir, valid_info=json_path,
+        class_names=('thing', 'b', 'c', 'd'), label_map=None))
+    return cfg, img_dir, json_path
+
+
+def test_evaluate_dataset_end_to_end(tiny_eval_setup, tmp_path):
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    assert len(dataset) == 3
+    variables = random_variables(cfg)
+    maps = evaluate_dataset(cfg, variables, dataset, quiet=True)
+    assert set(maps.keys()) == {'box', 'mask'}
+    assert np.isfinite(maps['box']['all'])
+
+
+def test_evaluate_coco_json_output(tiny_eval_setup, tmp_path):
+    from yolact_tpu.data import rle as rle_codec
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    bbox_file = str(tmp_path / 'bbox.json')
+    mask_file = str(tmp_path / 'mask.json')
+    evaluate_dataset(cfg, variables, dataset, output_coco_json=True,
+                     bbox_det_file=bbox_file, mask_det_file=mask_file,
+                     quiet=True)
+    bbox_dets = json.loads(open(bbox_file).read())
+    mask_dets = json.loads(open(mask_file).read())
+    assert isinstance(bbox_dets, list)
+    for d in mask_dets[:5]:
+        # label_map=None: 0-based class c maps back to category c+1
+        assert d['category_id'] in (1, 2, 3, 4)
+        m = rle_codec.rle_to_mask({
+            'size': d['segmentation']['size'],
+            'counts': d['segmentation']['counts'].encode()})
+        assert m.shape == (64, 64)
