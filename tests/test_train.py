@@ -1,0 +1,144 @@
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from _tiny import tiny_resnet_config
+
+
+def make_batch(rng, cfg, B=2, G=6):
+    S = cfg.max_size
+    boxes = np.zeros((B, G, 4), np.float32)
+    labels = np.full((B, G), -2, np.int32)
+    masks = np.zeros((B, G, S, S), np.uint8)
+    for b in range(B):
+        n = 3
+        for g in range(n):
+            x1, y1 = rng.rand(2) * 0.5
+            w, h = rng.rand(2) * 0.4 + 0.1
+            boxes[b, g] = [x1, y1, min(x1 + w, 1), min(y1 + h, 1)]
+            labels[b, g] = rng.randint(0, cfg.num_classes - 1)
+            xs = slice(int(x1 * S), int(min(x1 + w, 1) * S))
+            ys = slice(int(y1 * S), int(min(y1 + h, 1) * S))
+            masks[b, g, ys, xs] = 1
+        labels[b, n - 1] = -1  # one crowd
+    return dict(image=rng.rand(B, S, S, 3).astype(np.float32),
+                gt_boxes=boxes, gt_labels=labels, gt_masks=masks,
+                num_gts=np.full(B, 3, np.int32),
+                num_crowds=np.ones(B, np.int32))
+
+
+@pytest.fixture(scope='module')
+def trainer():
+    from yolact_tpu.train.step import create_train_state, train_step
+    cfg = tiny_resnet_config()
+    model, state = create_train_state(cfg, seed=0)
+    step = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r))
+    return cfg, model, state, step
+
+
+def test_train_steps_reduce_loss(trainer, rng):
+    cfg, model, state, step = trainer
+    batch = make_batch(rng, cfg)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(6):
+        key, sk = jax.random.split(key)
+        state, losses = step(state, batch, sk)
+        total = float(losses['total'])
+        assert np.isfinite(total), losses
+        if first is None:
+            first = total
+    # overfitting a fixed batch for a few steps must reduce the loss
+    assert total < first, (first, total)
+    assert int(state.step) == 6
+
+
+def test_freeze_bn_zeroes_bn_grads(rng):
+    from yolact_tpu.train.step import create_train_state, train_step
+    cfg = tiny_resnet_config(freeze_bn=True)
+    model, state = create_train_state(cfg, seed=0)
+    batch = make_batch(rng, cfg)
+    bn_scale_before = np.asarray(
+        state.params['model']['backbone']['bn1']['bn']['scale'])
+    state2, _ = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r))(
+        state, batch, jax.random.PRNGKey(0))
+    bn_scale_after = np.asarray(
+        state2.params['model']['backbone']['bn1']['bn']['scale'])
+    np.testing.assert_array_equal(bn_scale_before, bn_scale_after)
+    # but conv weights moved
+    w0 = np.asarray(state.params['model']['backbone']['conv1']['conv']['kernel'])
+    w1 = np.asarray(state2.params['model']['backbone']['conv1']['conv']['kernel'])
+    assert np.abs(w1 - w0).max() > 0
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path, rng):
+    from yolact_tpu.train import checkpoint as ckpt
+    from yolact_tpu.train.step import create_train_state
+    cfg, model, state, step = trainer
+    batch = make_batch(rng, cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / 'tiny_0_1.ckpt')
+    ckpt.save_checkpoint(state, path)
+
+    _, fresh = create_train_state(cfg, seed=7)
+    restored = ckpt.load_checkpoint(path, fresh)
+    assert int(restored.step) == int(state.step)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # momentum (opt_state) restored as well — unlike the reference
+    oa = jax.tree_util.tree_leaves(state.opt_state)
+    ob = jax.tree_util.tree_leaves(restored.opt_state)
+    for x, y in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_lr_schedule():
+    from yolact_tpu.train.schedule import learning_rate, scale_config_for_batch
+    from yolact_tpu.config import get_config
+    cfg = get_config('yolact_base')
+    # warmup: lr_warmup_init at 0 -> lr at warmup_until
+    assert float(learning_rate(cfg, 0)) == pytest.approx(cfg.lr_warmup_init)
+    assert float(learning_rate(cfg, 500)) == pytest.approx(cfg.lr)
+    assert float(learning_rate(cfg, 279999)) == pytest.approx(1e-3)
+    assert float(learning_rate(cfg, 280000)) == pytest.approx(1e-4)
+    assert float(learning_rate(cfg, 750000)) == pytest.approx(1e-7, rel=1e-3)
+    scaled = scale_config_for_batch(cfg, 16)
+    assert scaled.lr == pytest.approx(2e-3)
+    assert scaled.max_iter == 400000
+    assert scaled.lr_steps[0] == 140000
+
+
+def test_sgd_matches_torch(rng):
+    """Our optax chain must reproduce torch.optim.SGD exactly."""
+    torch = pytest.importorskip('torch')
+    import optax
+    from yolact_tpu.config import get_config
+    from yolact_tpu.train.step import make_optimizer
+
+    cfg = get_config('yolact_base').copy(lr=0.1, lr_warmup_until=0,
+                                         lr_steps=(), momentum=0.9,
+                                         decay=5e-4)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    grads = [rng.randn(4, 3).astype(np.float32) for _ in range(4)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=5e-4)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = make_optimizer(cfg)
+    params = {'w': w0.copy()}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({'w': g}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(params['w'], tw.detach().numpy(), atol=1e-5)

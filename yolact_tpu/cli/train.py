@@ -1,0 +1,241 @@
+"""Training CLI — flag parity with the reference ``train.py:31-106``.
+
+python -m yolact_tpu.cli.train --config=yolact_base_config --batch_size=8
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import signal
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='YOLACT-TPU training')
+    p.add_argument('--batch_size', default=8, type=int)
+    p.add_argument('--resume', default=None, type=str,
+                   help='checkpoint path, "interrupt", or "latest"')
+    p.add_argument('--start_iter', default=-1, type=int)
+    p.add_argument('--num_workers', default=4, type=int)
+    p.add_argument('--lr', '--learning_rate', default=None, type=float)
+    p.add_argument('--momentum', default=None, type=float)
+    p.add_argument('--decay', '--weight_decay', default=None, type=float)
+    p.add_argument('--gamma', default=None, type=float)
+    p.add_argument('--save_folder', default='weights/', type=str)
+    p.add_argument('--log_folder', default='logs/', type=str)
+    p.add_argument('--config', default=None, type=str)
+    p.add_argument('--save_interval', default=10000, type=int)
+    p.add_argument('--validation_size', default=5000, type=int)
+    p.add_argument('--validation_epoch', default=2, type=int)
+    p.add_argument('--keep_latest', dest='keep_latest', action='store_true')
+    p.add_argument('--keep_latest_interval', default=100000, type=int)
+    p.add_argument('--dataset', default=None, type=str)
+    p.add_argument('--no_log', dest='log', action='store_false')
+    p.add_argument('--log_gpu', dest='log_gpu', action='store_true')
+    p.add_argument('--no_interrupt', dest='interrupt', action='store_false')
+    p.add_argument('--batch_alloc', default=None, type=str,
+                   help='accepted for CLI parity; TPU chips are homogeneous '
+                        'so per-device batch allocation is ignored')
+    p.add_argument('--no_autoscale', dest='autoscale', action='store_false',
+                   help='disable lr/iter scaling by batch_size/8 '
+                        '(train.py:91-98)')
+    p.add_argument('--max_gt', default=100, type=int,
+                   help='fixed ground-truth padding per image (TPU static '
+                        'shapes)')
+    p.add_argument('--compute_dtype', default='float32', type=str)
+    p.set_defaults(keep_latest=False, log=True, log_gpu=False, interrupt=True,
+                   autoscale=True)
+    return p.parse_args(argv)
+
+
+def train(argv=None):
+    args = parse_args(argv)
+
+    from yolact_tpu.config import get_config, get_dataset
+    from yolact_tpu.data.augmentations import SSDAugmentation
+    from yolact_tpu.data.coco import COCODetection
+    from yolact_tpu.data.loader import BatchLoader
+    from yolact_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from yolact_tpu.train import checkpoint as ckpt
+    from yolact_tpu.train.schedule import (apply_delayed_settings,
+                                           scale_config_for_batch)
+    from yolact_tpu.train.step import create_train_state, train_step
+    from yolact_tpu.utils.functions import MovingAverage, SavePath
+    from yolact_tpu.utils.logger import Log
+
+    cfg = get_config(args.config or 'yolact_base')
+    if args.dataset is not None:
+        cfg = cfg.copy(dataset=get_dataset(args.dataset),)
+    if args.autoscale and args.batch_size != 8:
+        factor = args.batch_size / 8.0
+        print(f'Scaling parameters by {factor:.2f} to account for a batch '
+              f'size of {args.batch_size}.')
+        cfg = scale_config_for_batch(cfg, args.batch_size)
+    overrides = {}
+    for k in ('lr', 'momentum', 'decay', 'gamma'):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    if args.compute_dtype != 'float32':
+        overrides['compute_dtype'] = args.compute_dtype
+    # freeze BN when per-chip batch < 6 (train.py:115-118)
+    n_dev = jax.device_count()
+    if args.batch_size // n_dev < 6:
+        print('Per-chip batch size is less than 6, auto-enabling freeze_bn.')
+        overrides['freeze_bn'] = True
+    if overrides:
+        cfg = cfg.copy(**overrides)
+
+    dataset = COCODetection(
+        cfg.dataset.train_images, cfg.dataset.train_info,
+        transform=SSDAugmentation(cfg), dataset_cfg=cfg.dataset)
+    loader = BatchLoader(dataset, args.batch_size, max_gt=args.max_gt,
+                         num_workers=args.num_workers)
+
+    model, state = create_train_state(cfg)
+    start_iter = max(args.start_iter, 0)
+    if args.resume is not None:
+        path = ckpt.resolve_resume(args.resume, args.save_folder, cfg.name)
+        if path is None:
+            raise FileNotFoundError(f'no checkpoint for --resume={args.resume}')
+        print(f'Resuming training from {path}...')
+        if path.endswith('.pth'):
+            variables = ckpt.load_weights(cfg, path)
+            state = state.replace(params=dict(state.params,
+                                              model=variables['params']),
+                                  batch_stats=variables.get('batch_stats',
+                                                            state.batch_stats))
+        else:
+            state = ckpt.load_checkpoint(path, state)
+        if args.start_iter == -1:
+            try:
+                start_iter = ckpt.iteration_from_path(path)
+            except Exception:
+                start_iter = int(state.step)
+    state = state.replace(step=np.int32(start_iter))
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicate(mesh))
+    step_fn = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r),
+                      donate_argnums=(0,))
+
+    log = Log(cfg.name, args.log_folder,
+              dict(args=vars(args), config_name=cfg.name),
+              log_gpu_stats=args.log_gpu) if args.log else None
+
+    epoch_size = len(dataset) // args.batch_size
+    num_epochs = math.ceil(cfg.max_iter / epoch_size)
+    loss_avgs = {}
+    rng = jax.random.PRNGKey(42)
+    iteration = start_iter
+    last_time = time.time()
+    time_avg = MovingAverage()
+
+    interrupted = {'flag': False}
+
+    def on_sigint(sig, frame):
+        interrupted['flag'] = True
+
+    if args.interrupt:
+        signal.signal(signal.SIGINT, on_sigint)
+
+    print('Begin training!\n')
+    try:
+        for epoch in range(num_epochs):
+            if (epoch + 1) * epoch_size < iteration:
+                continue
+            for _ in range(epoch_size):
+                if iteration == (epoch + 1) * epoch_size:
+                    break
+                if iteration >= cfg.max_iter or interrupted['flag']:
+                    break
+                cfg = apply_delayed_settings(cfg, iteration)
+
+                batch = loader.next_batch()
+                batch = shard_batch(mesh, batch)
+                rng, step_rng = jax.random.split(rng)
+                state, losses = step_fn(state, batch, step_rng)
+
+                iteration += 1
+                cur_time = time.time()
+                time_avg.add(cur_time - last_time)
+                last_time = cur_time
+
+                if iteration % 10 == 0:
+                    losses_np = {k: float(v) for k, v in losses.items()}
+                    for k, v in losses_np.items():
+                        if k not in ('total', 'lr'):
+                            loss_avgs.setdefault(k, MovingAverage(100)).add(v)
+                    letters = [k for k in losses_np if k not in ('total', 'lr')]
+                    eta = (cfg.max_iter - iteration) * time_avg.get_avg()
+                    eta_str = str(int(eta // 3600)) + ':' + \
+                        f'{int(eta % 3600 // 60):02d}:{int(eta % 60):02d}'
+                    parts = ' | '.join(
+                        f'{k}: {loss_avgs[k].get_avg():.3f}' for k in letters)
+                    total = sum(loss_avgs[k].get_avg() for k in letters)
+                    print(f'[{epoch:3d}] {iteration:7d} || {parts} | '
+                          f'T: {total:.3f} || ETA: {eta_str} || '
+                          f'timer: {time_avg.get_avg():.3f}')
+                    if log is not None:
+                        log.log('train', loss={k: losses_np.get(k)
+                                               for k in letters},
+                                lr=losses_np.get('lr'),
+                                epoch=epoch, iter=iteration,
+                                elapsed=cur_time - last_time)
+
+                if iteration % args.save_interval == 0 and iteration > 0:
+                    if args.keep_latest:
+                        ckpt.prune_checkpoints(args.save_folder, cfg.name,
+                                               args.keep_latest_interval)
+                    path = SavePath(cfg.name, epoch, iteration).get_path(
+                        root=args.save_folder)
+                    print(f'Saving state, iter: {iteration}')
+                    ckpt.save_checkpoint(state, path)
+
+            if iteration >= cfg.max_iter or interrupted['flag']:
+                break
+
+            if args.validation_epoch > 0 and epoch % args.validation_epoch \
+                    == 0 and epoch > 0:
+                compute_validation_map(cfg, state, args, log, epoch, iteration)
+    finally:
+        loader.stop()
+
+    if interrupted['flag']:
+        print('Stopping early. Saving network...')
+        SavePath.remove_interrupt(args.save_folder)
+        path = SavePath(cfg.name, epoch, f'{iteration}_interrupt').get_path(
+            root=args.save_folder)
+        ckpt.save_checkpoint(state, path)
+        return
+
+    path = SavePath(cfg.name, epoch, iteration).get_path(
+        root=args.save_folder)
+    ckpt.save_checkpoint(state, path)
+
+
+def compute_validation_map(cfg, state, args, log, epoch, iteration):
+    """Per-epoch val mAP (train.py:369-374,485-498)."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    try:
+        val_dataset = make_eval_dataset(cfg)
+    except FileNotFoundError:
+        print('(validation dataset unavailable; skipping val mAP)')
+        return
+    variables = {'params': jax.device_get(state.params['model']),
+                 'batch_stats': jax.device_get(state.batch_stats)}
+    start = time.time()
+    maps = evaluate_dataset(cfg, variables, val_dataset,
+                            max_images=args.validation_size, quiet=False)
+    if log is not None and maps is not None:
+        log.log('val', box=maps['box'], mask=maps['mask'], epoch=epoch,
+                iter=iteration, elapsed=time.time() - start)
+
+
+if __name__ == '__main__':
+    train()

@@ -74,7 +74,10 @@ class Yolact(nn.Module):
         dtype = self.dtype
         x = x.astype(dtype)
 
-        outs = _build_backbone(cfg, dtype)(x, train)
+        # freeze_bn (yolact.py:555-562): BN stays in eval mode during
+        # training; only the backbone carries BN/GN layers.
+        bn_train = train and not cfg.freeze_bn
+        outs = _build_backbone(cfg, dtype)(x, bn_train)
 
         if cfg.fpn is not None:
             selected = tuple(outs[i] for i in cfg.backbone.selected_layers)

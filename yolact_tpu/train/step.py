@@ -82,13 +82,13 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
                batch: Dict, rng) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One SGD step.  Pure function of (state, batch, rng); jit/pjit-ready."""
     maskiou_model = MaskIoUHead(cfg) if cfg.use_maskiou else None
-    bn_train = not cfg.freeze_bn
+    bn_train = not cfg.freeze_bn  # frozen BN never touches batch_stats
 
     def loss_fn(params):
         out = model.apply(
             {'params': params['model'], 'batch_stats': state.batch_stats},
             batch['image'], train=True,
-            mutable=['batch_stats'] if bn_train else [])
+            mutable=['batch_stats'] if bn_train else False)
         if bn_train:
             preds, new_model_state = out
             new_stats = new_model_state['batch_stats']
@@ -107,14 +107,18 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     (total, (losses, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
-    if cfg.freeze_bn:
-        grads = _freeze_bn_grads(grads)
-
     # non-finite guard: keep old state if the loss exploded (train.py:312-318)
     finite = jnp.isfinite(total)
     grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)),
                          grads)
-    new_state = state.apply_gradients(grads)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    if cfg.freeze_bn:
+        # frozen params get NO update at all — torch skips params whose
+        # .grad is None, so weight decay doesn't touch them either
+        updates = _freeze_bn_grads(updates)
+    new_state = state.replace(step=state.step + 1,
+                              params=optax.apply_updates(state.params, updates),
+                              opt_state=new_opt)
     # iteration still advances on a skipped step, like the reference loop
     new_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
                              new_state.replace(batch_stats=new_stats),
