@@ -1,0 +1,123 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolact_tpu.kernels.dcn import deform_conv2d
+
+
+def ref_conv(x, w, b, stride=1, padding=1, dilation=1):
+    """Plain conv via lax for comparison (NHWC/HWIO)."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return out + b
+
+
+def test_zero_offset_is_half_conv(rng):
+    """DCN with zero offsets and zero mask logits == 0.5 * standard conv.
+
+    The YOLACT++ init zeroes conv_offset_mask so sigmoid(mask)=0.5 and all
+    taps sample on-grid (reference test: external/DCNv2/test.py:32-67
+    check_zero_offset, adapted for the modulated form).
+    """
+    B, H, W, Cin, Cout, K = 2, 9, 9, 4, 6, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    offset = jnp.zeros((B, H, W, 2 * K * K))
+    mask = jnp.full((B, H, W, K * K), 0.5)
+
+    got = deform_conv2d(x, offset, mask, w, b, stride=1, padding=1)
+    want = 0.5 * (ref_conv(x, w, jnp.zeros_like(b))) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_zero_offset_full_mask_is_conv(rng):
+    B, H, W, Cin, Cout, K = 1, 7, 7, 3, 5, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    offset = jnp.zeros((B, H, W, 2 * K * K))
+    mask = jnp.ones((B, H, W, K * K))
+    got = deform_conv2d(x, offset, mask, w, b)
+    want = ref_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_integer_offset_shifts_sampling(rng):
+    """A (+1, 0) offset on every tap equals sampling the row below."""
+    B, H, W, Cin, Cout, K = 1, 8, 8, 2, 3, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
+    b = jnp.zeros(Cout, jnp.float32)
+    offset = np.zeros((B, H, W, 2 * K * K), np.float32)
+    offset[..., 0::2] = 1.0  # dy = +1 for every tap
+    mask = jnp.ones((B, H, W, K * K))
+    got = deform_conv2d(x, jnp.asarray(offset), mask, w, b)
+
+    # shifting the input up one row gives the same result except at the TOP
+    # output row, where the deform version samples real row 0 but the plain
+    # conv sees zero padding
+    x_shift = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    want = ref_conv(x_shift, w, b)
+    np.testing.assert_allclose(np.asarray(got)[:, 1:], np.asarray(want)[:, 1:],
+                               atol=1e-4)
+
+
+def test_stride_2(rng):
+    B, H, W, Cin, Cout, K = 1, 10, 10, 3, 4, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    Ho = Wo = (10 + 2 - 3) // 2 + 1
+    offset = jnp.zeros((B, Ho, Wo, 2 * K * K))
+    mask = jnp.ones((B, Ho, Wo, K * K))
+    got = deform_conv2d(x, offset, mask, w, b, stride=2, padding=1)
+    want = ref_conv(x, w, b, stride=2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_dcn_differentiable(rng):
+    """Gradients flow through offsets/mask/weights (needed to train
+    YOLACT++; reference: external/DCNv2 backward kernels)."""
+    B, H, W, Cin, Cout, K = 1, 6, 6, 2, 2, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
+    offset = jnp.asarray(rng.randn(B, H, W, 2 * K * K) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, K * K), jnp.float32)
+
+    def f(off, m, wt):
+        return jnp.sum(deform_conv2d(x, off, m, wt, None) ** 2)
+
+    g_off, g_m, g_w = jax.grad(f, argnums=(0, 1, 2))(offset, mask, w)
+    assert np.isfinite(np.asarray(g_off)).all()
+    assert np.abs(np.asarray(g_off)).max() > 0
+    assert np.abs(np.asarray(g_m)).max() > 0
+    assert np.abs(np.asarray(g_w)).max() > 0
+
+
+def test_yolact_plus_tiny_forward(rng):
+    """yolact_plus topology (DCN backbone + maskiou) builds and runs."""
+    from yolact_tpu.config import get_config
+    from yolact_tpu.models.yolact import Yolact
+    cfg = get_config('yolact_plus_resnet50')
+    cfg = cfg.copy(
+        max_size=128, num_classes=5,
+        backbone=cfg.backbone.copy(args=((1, 1, 1, 1), (0, 1, 1, 1))),
+        mask_proto_net=((8, 3, (('padding', 1),)), (None, -2, ()),
+                        (8, 1, ())),
+        extra_head_net=((16, 3, (('padding', 1),)),),
+        maskiou_net=((8, 3, (('stride', 2),)),),
+        fpn=cfg.fpn.copy(num_features=16))
+    model = Yolact(cfg)
+    x = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert np.isfinite(np.asarray(out['loc'])).all()
+    # 9 anchors/pos for plus configs (3 ars x 3 scales)
+    from yolact_tpu.ops.anchors import num_priors
+    assert out['loc'].shape[1] == num_priors(cfg)

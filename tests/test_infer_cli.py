@@ -1,0 +1,94 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from _tiny import tiny_resnet_config
+
+
+def test_traditional_nms_agrees_with_fast_on_sparse(rng):
+    """On well-separated boxes both NMS variants keep the same detections."""
+    from yolact_tpu.eval.traditional import traditional_nms
+    cfg = tiny_resnet_config()
+    P, Cm1, Md = 40, cfg.num_classes - 1, 4
+    boxes = np.zeros((P, 4), np.float32)
+    scores = np.full((Cm1, P), 1e-4, np.float32)
+    # 4 separated confident boxes of distinct classes
+    for i in range(4):
+        x = 0.05 + 0.24 * i
+        boxes[i] = [x, x, x + 0.1, x + 0.1]
+        scores[i % Cm1, i] = 0.9 - 0.1 * i
+    coeffs = rng.randn(P, Md).astype(np.float32)
+    b, c, cls, s = traditional_nms(cfg, boxes, coeffs, scores)
+    assert len(s) == 4
+    np.testing.assert_allclose(sorted(s, reverse=True), s)
+
+
+def test_traditional_nms_suppresses_overlaps(rng):
+    from yolact_tpu.eval.traditional import traditional_nms
+    cfg = tiny_resnet_config()
+    P, Cm1, Md = 10, cfg.num_classes - 1, 4
+    boxes = np.tile(np.array([[0.2, 0.2, 0.6, 0.6]], np.float32), (P, 1))
+    boxes += rng.randn(P, 4).astype(np.float32) * 0.002
+    scores = np.full((Cm1, P), 1e-4, np.float32)
+    scores[0, :] = np.linspace(0.9, 0.5, P)
+    coeffs = rng.randn(P, Md).astype(np.float32)
+    b, c, cls, s = traditional_nms(cfg, boxes, coeffs, scores)
+    assert len(s) == 1 and cls[0] == 0
+
+
+@pytest.fixture(scope='module')
+def tiny_ckpt(tmp_path_factory):
+    """Random-weight tiny checkpoint on disk + matching config name."""
+    from yolact_tpu.config import register_config
+    from yolact_tpu.infer import random_variables
+    from yolact_tpu.train.checkpoint import save_weights_only
+
+    cfg = tiny_resnet_config()
+    register_config(cfg, 'tinytest')
+    cfg = cfg.copy(name='tinytest')
+    register_config(cfg)
+    tmp = tmp_path_factory.mktemp('w')
+    path = str(tmp / 'tinytest_0_100.ckpt')
+    variables = random_variables(cfg)
+    save_weights_only(variables, path)
+    return cfg, path
+
+
+def test_cli_evalimage(tiny_ckpt, tmp_path):
+    import cv2
+    from yolact_tpu.cli.eval import main
+    cfg, ckpt = tiny_ckpt
+    img = (np.random.RandomState(0).rand(90, 120, 3) * 255).astype(np.uint8)
+    inp = str(tmp_path / 'in.jpg')
+    out = str(tmp_path / 'out.png')
+    cv2.imwrite(inp, img)
+    main(['--trained_model', ckpt, f'--image={inp}:{out}',
+          '--score_threshold=0.0'])
+    res = cv2.imread(out)
+    assert res is not None and res.shape == (90, 120, 3)
+
+
+def test_cli_video(tiny_ckpt, tmp_path):
+    import cv2
+    cfg, ckpt = tiny_ckpt
+    vid_in = str(tmp_path / 'in.mp4')
+    vw = cv2.VideoWriter(vid_in, cv2.VideoWriter_fourcc(*'mp4v'), 10,
+                         (96, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(6):
+        vw.write((rng.rand(64, 96, 3) * 255).astype(np.uint8))
+    vw.release()
+
+    from yolact_tpu.eval.video import evalvideo
+    from yolact_tpu.train.checkpoint import load_weights
+    variables = load_weights(cfg, ckpt)
+    out = str(tmp_path / 'out.mp4')
+    fps = evalvideo(cfg, variables, vid_in, out, video_multiframe=2,
+                    score_threshold=0.0, max_frames=6)
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    assert round(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()

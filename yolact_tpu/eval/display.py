@@ -1,0 +1,88 @@
+"""Detection visualisation (prep_display equivalent, ``eval.py:135-262``).
+
+Alpha-composites instance masks with per-detection colors using the same
+cumulative-product formulation as the reference, then draws boxes/labels with
+cv2.  Pure numpy — the mask compositing cost is trivial next to the network.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from yolact_tpu.config import COLORS, YolactConfig
+
+
+def get_color(j: int, classes: Sequence[int], class_color: bool = False,
+              bgr: bool = False):
+    color_idx = (int(classes[j]) * 5 if class_color else j * 5) % len(COLORS)
+    color = COLORS[color_idx]
+    return (color[2], color[1], color[0]) if bgr else color
+
+
+def draw_detections(cfg: YolactConfig, img_bgr: np.ndarray,
+                    classes: np.ndarray, scores: np.ndarray,
+                    boxes_abs: np.ndarray, masks: np.ndarray,
+                    top_k: int = 15, score_threshold: float = 0.0,
+                    mask_alpha: float = 0.45,
+                    display_masks: bool = True,
+                    display_bboxes: bool = True,
+                    display_text: bool = True,
+                    display_scores: bool = True,
+                    class_color: bool = False,
+                    fps_str: str = '') -> np.ndarray:
+    """img_bgr: uint8 [h, w, 3]; masks: bool/float [n, h, w] full size."""
+    import cv2
+
+    order = np.argsort(-scores)[:top_k]
+    n = 0
+    for j in order:
+        if scores[j] < score_threshold:
+            break
+        n += 1
+    order = order[:n]
+
+    img = img_bgr.astype(np.float32) / 255.0
+
+    if display_masks and n > 0:
+        # iterative form of the reference's cumprod compositing
+        # (eval.py:199-209): img = img*inv_a[j] + color[j]*a*mask[j]
+        for j in order[::-1]:
+            m = masks[j].astype(np.float32)[..., None]
+            color = np.array(get_color(int(np.where(order == j)[0][0]),
+                                       classes, class_color, bgr=True),
+                             np.float32) / 255.0
+            img = img * (1 - m * mask_alpha) + m * mask_alpha * color
+
+    img_numpy = (img * 255).astype(np.uint8)
+
+    if fps_str:
+        font = cv2.FONT_HERSHEY_DUPLEX
+        tw, th = cv2.getTextSize(fps_str, font, 0.6, 1)[0]
+        img_numpy[0:th + 8, 0:tw + 8] = (
+            img_numpy[0:th + 8, 0:tw + 8] * 0.6).astype(np.uint8)
+        cv2.putText(img_numpy, fps_str, (4, th + 2), font, 0.6,
+                    (255, 255, 255), 1, cv2.LINE_AA)
+
+    if n == 0:
+        return img_numpy
+
+    if display_text or display_bboxes:
+        for rank in reversed(range(n)):
+            j = order[rank]
+            x1, y1, x2, y2 = (int(v) for v in boxes_abs[j])
+            color = get_color(rank, classes, class_color, bgr=True)
+            score = scores[j]
+            if display_bboxes:
+                cv2.rectangle(img_numpy, (x1, y1), (x2, y2), color, 1)
+            if display_text:
+                name = cfg.dataset.class_names[int(classes[j])]
+                text = f'{name}: {score:.2f}' if display_scores else name
+                font = cv2.FONT_HERSHEY_DUPLEX
+                tw, th = cv2.getTextSize(text, font, 0.6, 1)[0]
+                cv2.rectangle(img_numpy, (x1, y1), (x1 + tw, y1 - th - 4),
+                              color, -1)
+                cv2.putText(img_numpy, text, (x1, y1 - 3), font, 0.6,
+                            (255, 255, 255), 1, cv2.LINE_AA)
+    return img_numpy

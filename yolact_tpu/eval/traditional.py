@@ -1,0 +1,84 @@
+"""Traditional (greedy, per-class) NMS — host path.
+
+Semantics of ``Detect.traditional_nms`` (``detection.py:182-228``): per-class
+confidence filter, greedy suppression with +1-convention pixel areas (boxes
+scaled by max_size), global score sort capped at ``max_num_detections``.
+The O(n²) suppression loop runs in the native C++ library
+(``native/yolact_native.cpp``) — the TPU-era replacement for the reference's
+on-the-fly-compiled Cython (``utils/cython_nms.pyx``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from yolact_tpu.config import YolactConfig
+from yolact_tpu.native import get_native
+
+
+def _greedy_nms(dets: np.ndarray, thresh: float) -> np.ndarray:
+    native = get_native()
+    if native is not None:
+        keep = native.greedy_nms(dets, thresh)
+        return np.sort(keep)  # reference returns original-order indices
+    # numpy fallback
+    x1, y1, x2, y2, sc = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = sc.argsort()[::-1]
+    suppressed = np.zeros(len(dets), bool)
+    keep = []
+    for _i in range(len(order)):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for _j in range(_i + 1, len(order)):
+            j = order[_j]
+            if suppressed[j]:
+                continue
+            w = max(0.0, min(x2[i], x2[j]) - max(x1[i], x1[j]) + 1)
+            h = max(0.0, min(y2[i], y2[j]) - max(y1[i], y1[j]) + 1)
+            inter = w * h
+            if inter / (areas[i] + areas[j] - inter) >= thresh:
+                suppressed[j] = True
+    return np.array(sorted(keep), np.int64)
+
+
+def traditional_nms(cfg: YolactConfig, boxes: np.ndarray, coeffs: np.ndarray,
+                    scores: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """boxes [P,4] relative point form; coeffs [P,Md]; scores [C-1,P].
+    Returns (boxes, coeffs, classes, scores) of the kept detections."""
+    num_classes = scores.shape[0]
+    boxes_px = boxes * cfg.max_size
+
+    idx_lst, cls_lst, scr_lst = [], [], []
+    for _cls in range(num_classes):
+        cls_scores = scores[_cls]
+        conf_mask = cls_scores > cfg.nms_conf_thresh
+        idx = np.arange(len(cls_scores))[conf_mask]
+        cls_scores = cls_scores[conf_mask]
+        if len(cls_scores) == 0:
+            continue
+        preds = np.concatenate(
+            [boxes_px[conf_mask], cls_scores[:, None]], axis=1
+        ).astype(np.float32)
+        keep = _greedy_nms(preds, cfg.nms_thresh)
+        idx_lst.append(idx[keep])
+        cls_lst.append(np.full(len(keep), _cls, np.int64))
+        scr_lst.append(cls_scores[keep])
+
+    if not idx_lst:
+        e = np.zeros(0)
+        return e.reshape(0, 4), e.reshape(0, coeffs.shape[1]), \
+            e.astype(np.int64), e
+
+    idx = np.concatenate(idx_lst)
+    classes = np.concatenate(cls_lst)
+    out_scores = np.concatenate(scr_lst)
+
+    order = np.argsort(-out_scores, kind='stable')[:cfg.max_num_detections]
+    idx = idx[order]
+    return boxes[idx], coeffs[idx], classes[order], out_scores[order]
