@@ -147,7 +147,7 @@ def convert_state_dict(cfg, sd: Dict[str, np.ndarray]):
         take('backbone._preconv.0', _conv_map, params,
              ('backbone', 'preconv', 'conv'), 'backbone._preconv.0', sd)
         take('backbone._preconv.1', _bn_map, params, stats,
-             ('backbone', 'preconv'), 'backbone._preconv.1', sd)
+             ('backbone', 'preconv', 'bn'), 'backbone._preconv.1', sd)
         pat = re.compile(r'backbone\.layers\.(\d+)\.(\d+)\.(.*)')
         seen = set()
         for k in bkeys:
@@ -162,13 +162,14 @@ def convert_state_dict(cfg, sd: Dict[str, np.ndarray]):
             fp = ('backbone', f'layers_{si}_{bi}')
             if bi == 0:  # stage-opening DarkConv (Sequential conv,bn,leaky)
                 take(f'{tp}.0', _conv_map, params, fp + ('conv',), f'{tp}.0', sd)
-                take(f'{tp}.1', _bn_map, params, stats, fp, f'{tp}.1', sd)
+                take(f'{tp}.1', _bn_map, params, stats, fp + ('bn',),
+                     f'{tp}.1', sd)
             else:        # DarkBlock with conv1/conv2 DarkConvs
                 for cn in ('conv1', 'conv2'):
                     take(f'{tp}.{cn}.0', _conv_map, params,
                          fp + (cn, 'conv'), f'{tp}.{cn}.0', sd)
                     take(f'{tp}.{cn}.1', _bn_map, params, stats,
-                         fp + (cn,), f'{tp}.{cn}.1', sd)
+                         fp + (cn, 'bn'), f'{tp}.{cn}.1', sd)
     elif bb.type == 'vgg':
         pat = re.compile(r'backbone\.layers\.(\d+)\.(\d+)\.(weight|bias)')
         for k in bkeys:

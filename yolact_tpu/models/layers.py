@@ -51,6 +51,9 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.padding
+        # xavier_uniform + zero bias matches the reference's init_weights
+        # (yolact.py:492-547) for every non-backbone conv; backbone convs
+        # are overwritten by pretrained weights anyway.
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -58,6 +61,7 @@ class Conv(nn.Module):
             padding=((p, p), (p, p)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            kernel_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype,
             name='conv')(x)
 
