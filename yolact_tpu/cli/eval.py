@@ -188,7 +188,8 @@ def main(argv=None):
         output_coco_json=args.output_coco_json,
         bbox_det_file=args.bbox_det_file, mask_det_file=args.mask_det_file,
         output_web_json=args.output_web_json, web_det_path=args.web_det_path,
-        benchmark=args.benchmark, quiet=args.no_bar)
+        benchmark=args.benchmark, mask_proto_debug=args.mask_proto_debug,
+        quiet=args.no_bar)
 
 
 if __name__ == '__main__':

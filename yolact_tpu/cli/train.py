@@ -48,13 +48,20 @@ def parse_args(argv=None):
                    help='fixed ground-truth padding per image (TPU static '
                         'shapes)')
     p.add_argument('--compute_dtype', default='float32', type=str)
+    p.add_argument('--distributed', dest='distributed', action='store_true',
+                   help='multi-host: call jax.distributed.initialize() so '
+                        'the mesh spans all TPU pod hosts (replaces the '
+                        'reference, which has no multi-node support)')
     p.set_defaults(keep_latest=False, log=True, log_gpu=False, interrupt=True,
-                   autoscale=True)
+                   autoscale=True, distributed=False)
     return p.parse_args(argv)
 
 
 def train(argv=None):
     args = parse_args(argv)
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     from yolact_tpu.config import get_config, get_dataset
     from yolact_tpu.data.augmentations import SSDAugmentation

@@ -54,6 +54,7 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                      output_web_json: bool = False,
                      web_det_path: str = 'web/dets/',
                      benchmark: bool = False,
+                     mask_proto_debug: bool = False,
                      quiet: bool = False) -> Optional[Dict]:
     """Returns the all_maps dict (or None for json/benchmark modes)."""
     pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
@@ -88,6 +89,18 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
         with timer.env('Network Extra'):
             out = pipeline(np.asarray(img)[None])
             valid = np.asarray(out.valid[0])
+
+        if mask_proto_debug and it == 0:
+            # dump prototype + gt masks for scripts/compute_masks.py
+            # (eval.py:938-942, output_utils.py:62-64)
+            import os
+            os.makedirs('scripts', exist_ok=True)
+            # re-run the raw forward to grab prototypes
+            from yolact_tpu.models.yolact import Yolact
+            preds = Yolact(cfg).apply(variables, np.asarray(img)[None])
+            np.save('scripts/proto.npy', np.asarray(preds['proto'][0]))
+            if gt_masks is not None:
+                np.save('scripts/gt.npy', np.asarray(gt_masks))
 
         if benchmark:
             frame_times.add(timer.total_time())

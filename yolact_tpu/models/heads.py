@@ -40,6 +40,13 @@ class ProtoNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.cfg.mask_proto_use_grid:
+            # extra coordinate-grid input features (yolact.py:411-413,584-586)
+            import numpy as np
+            grid = np.load(self.cfg.mask_proto_grid_file)  # [g, h, w]
+            g = jnp.asarray(np.transpose(grid, (1, 2, 0)), x.dtype)
+            g = jnp.broadcast_to(g[None], (x.shape[0],) + g.shape)
+            x = jnp.concatenate([x, g], axis=-1)
         x = SpecNet(self.cfg.mask_proto_net, include_last_relu=False,
                     dtype=self.dtype, name='proto_net')(x)
         x = _activation(self.cfg.mask_proto_prototype_activation)(x)

@@ -172,8 +172,15 @@ class SpecNet(nn.Module):
             num, k = entry[0], entry[1]
             kw = dict(entry[2]) if len(entry) > 2 else {}
             if isinstance(num, str):
-                raise NotImplementedError('cat layers are not used by any '
-                                          'released YOLACT config')
+                if num != 'cat':
+                    raise NotImplementedError(num)
+                # parallel sub-networks concatenated on channels
+                # (utils/functions.py:179-183 'cat' token)
+                layers.append((seq_idx, 'cat', tuple(k)))
+                seq_idx += 1
+                layers.append((seq_idx, 'relu', None))
+                seq_idx += 1
+                continue
             if k > 0:
                 layers.append((seq_idx, 'conv', dict(
                     features=num, kernel_size=k,
@@ -201,6 +208,11 @@ class SpecNet(nn.Module):
                 x = ConvTranspose(dtype=self.dtype, name=f'layers_{idx}', **kw)(x)
             elif kind == 'interp':
                 x = InterpolateModule(name=f'layers_{idx}', **kw)(x)
+            elif kind == 'cat':
+                outs = [SpecNet(sub, include_last_relu=True, dtype=self.dtype,
+                                name=f'layers_{idx}_cat_{i}')(x)
+                        for i, sub in enumerate(kw)]
+                x = jnp.concatenate(outs, axis=-1)
             else:
                 x = jax.nn.relu(x)
         return x

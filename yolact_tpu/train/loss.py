@@ -326,6 +326,65 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
     return losses, miou_targets
 
 
+def direct_mask_loss(cfg: YolactConfig, m: MatchResult, mask_data, gt_masks):
+    """Direct (fc-mask) loss: BCE between per-anchor mask_size^2 predictions
+    and the matched gt mask cropped by the GT box and resized to mask_size
+    (multibox_loss.py:152-161 use_gt_bboxes path, vectorised).
+
+    Deviation from the reference's no-gt-bbox path (:431-472, which crops by
+    the *predicted* box with per-positive dynamic-size adaptive pooling — a
+    host-bound loop by construction): we crop by the gt box via the
+    differentiable crop + fixed-grid resize.  use_gt_bboxes=True semantics
+    are exact; the pred-box variant differs only in the crop window source.
+    """
+    B, P = m.pos.shape
+    S = gt_masks.shape[-1]
+    ms = cfg.mask_size
+    M = cfg.masks_to_train
+
+    def per_image(pos, idx_t, gt_box_t, preds, masks):
+        pri = jnp.where(pos, 2.0, 0.0)  # deterministic: all positives first
+        _, slots = jax.lax.top_k(pri + jnp.arange(P, 0, -1) * 1e-9, M)
+        slot_valid = pos[slots]
+        sel_gt = idx_t[slots]
+        sel_box = gt_box_t[slots]                    # [M, 4] point form
+        sel_pred = preds[slots]                      # [M, ms*ms]
+
+        # crop each gt mask by its box and resample to ms x ms with a
+        # fixed bilinear grid (replaces adaptive_avg_pool on dynamic crops)
+        gm = masks[sel_gt]                           # [M, S, S]
+        x1, y1 = sel_box[:, 0] * S, sel_box[:, 1] * S
+        x2, y2 = sel_box[:, 2] * S, sel_box[:, 3] * S
+        ty = (jnp.arange(ms) + 0.5) / ms
+        tx = (jnp.arange(ms) + 0.5) / ms
+        ys = y1[:, None] + (y2 - y1)[:, None] * ty[None, :] - 0.5  # [M, ms]
+        xs = x1[:, None] + (x2 - x1)[:, None] * tx[None, :] - 0.5
+
+        def sample(img, ys_i, xs_i):
+            y0 = jnp.clip(jnp.floor(ys_i).astype(jnp.int32), 0, S - 1)
+            x0 = jnp.clip(jnp.floor(xs_i).astype(jnp.int32), 0, S - 1)
+            y1i = jnp.clip(y0 + 1, 0, S - 1)
+            x1i = jnp.clip(x0 + 1, 0, S - 1)
+            wy = jnp.clip(ys_i - y0, 0, 1)[:, None]
+            wx = jnp.clip(xs_i - x0, 0, 1)[None, :]
+            v00 = img[y0][:, x0]
+            v01 = img[y0][:, x1i]
+            v10 = img[y1i][:, x0]
+            v11 = img[y1i][:, x1i]
+            return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                    v10 * wy * (1 - wx) + v11 * wy * wx)
+
+        mask_t = jax.vmap(sample)(gm, ys, xs)        # [M, ms, ms]
+        mask_t = (mask_t > 0.5).astype(jnp.float32).reshape(M, -1)
+        bce = _torch_bce(jnp.clip(sel_pred, 0.0, 1.0), mask_t)
+        return (bce.sum(axis=1) * slot_valid).sum()
+
+    loss = jax.vmap(per_image)(m.pos, m.idx_t, m.gt_box_t,
+                               mask_data.astype(jnp.float32),
+                               gt_masks)
+    return loss.sum() * cfg.mask_alpha
+
+
 def mask_iou_loss(cfg: YolactConfig, maskiou_apply, t: MaskIoUTargets):
     """Mask re-scoring training loss (multibox_loss.py:684-694)."""
     B, M = t.iou_t.shape
@@ -361,6 +420,8 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
         losses['B'] = l1.sum() * cfg.bbox_alpha
 
     maskiou_targets = None
+    if cfg.train_masks and cfg.mask_type == MaskType.DIRECT:
+        losses['M'] = direct_mask_loss(cfg, m, mask_data, gt_masks)
     if cfg.train_masks and cfg.mask_type == MaskType.LINCOMB:
         proto_data = predictions['proto'].astype(jnp.float32)
         mask_losses, maskiou_targets = lincomb_mask_loss(
