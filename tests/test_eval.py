@@ -166,3 +166,18 @@ def test_evaluate_coco_json_output(tiny_eval_setup, tmp_path):
             'size': d['segmentation']['size'],
             'counts': d['segmentation']['counts'].encode()})
         assert m.shape == (64, 64)
+
+
+def test_evaluate_batched_matches_single(tiny_eval_setup):
+    """eval_batch_size>1 must give identical mAP to batch 1."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    m1 = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                          eval_batch_size=1)
+    m2 = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                          eval_batch_size=2)
+    assert m1 == m2

@@ -156,3 +156,78 @@ def test_loss_parity(ref):
             np.testing.assert_allclose(
                 got[k], want[k], rtol=2e-3,
                 err_msg=f'loss {k} seed {seed}: ref={want[k]} ours={got[k]}')
+
+
+@pytest.mark.parametrize('mode', ['focal', 'focal_objectness', 'objectness'])
+def test_conf_loss_variants_parity(ref, mode):
+    """Focal / objectness confidence-loss variants vs the reference.
+
+    (The reference's sigmoid-focal path calls torch.eye(device=-1) on CPU
+    and cannot run outside CUDA, so it is covered by our own unit math
+    only.)
+    """
+    ref_yolact, ref_config, ref_box_utils, ref_mbl = ref
+    flags = {
+        'focal': dict(use_focal_loss=True),
+        'focal_objectness': dict(use_focal_loss=True,
+                                 use_objectness_score=True),
+        'objectness': dict(use_objectness_score=True),
+    }[mode]
+
+    rng = np.random.RandomState(11)
+    sc = random_scene(rng, crowds=0)
+
+    # reference
+    cfg_ref = make_tiny_ref_cfg(ref_config)
+    ref_config.cfg.replace(ref_config.cfg.copy(flags))
+    try:
+        want = run_reference_loss(ref, sc)
+        # run_reference_loss resets cfg; re-apply flags and rerun
+        ref_config.cfg.replace(ref_config.cfg.copy(flags))
+        want = run_reference_loss2(ref, sc, flags)
+    finally:
+        ref_config.cfg.replace(ref_config.yolact_base_config)
+
+    import jax
+    from yolact_tpu.train.loss import multibox_loss
+    cfg = tiny_cfg().copy(**flags)
+    G = sc['gt_boxes'].shape[0]
+    predictions = {
+        'loc': sc['loc'], 'conf': sc['conf'], 'mask': sc['coeffs'],
+        'priors': sc['priors'], 'proto': sc['proto'],
+        'segm': np.transpose(sc['segm'], (0, 2, 3, 1)),
+    }
+    batch = dict(
+        gt_boxes=sc['gt_boxes'][None],
+        gt_labels=sc['gt_labels'][None].astype(np.int32),
+        gt_masks=sc['gt_masks'][None],
+        num_gts=np.array([G], np.int32),
+        num_crowds=np.array([0], np.int32))
+    got, _ = multibox_loss(cfg, jax.random.PRNGKey(0), predictions, batch)
+    np.testing.assert_allclose(
+        float(got['C']), want['C'], rtol=2e-3,
+        err_msg=f'{mode}: ref={want["C"]} ours={float(got["C"])}')
+
+
+def run_reference_loss2(ref, sc, flags):
+    """Like run_reference_loss but with extra cfg flags applied."""
+    ref_yolact, ref_config, ref_box_utils, ref_mbl = ref
+    cfg = make_tiny_ref_cfg(ref_config)
+    ref_config.cfg.replace(ref_config.cfg.copy(flags))
+    criterion = ref_mbl.MultiBoxLoss(num_classes=5,
+                                     pos_threshold=cfg.positive_iou_threshold,
+                                     neg_threshold=cfg.negative_iou_threshold,
+                                     negpos_ratio=cfg.ohem_negpos_ratio)
+    predictions = {
+        'loc': torch.from_numpy(sc['loc']),
+        'conf': torch.from_numpy(sc['conf']),
+        'mask': torch.from_numpy(sc['coeffs']),
+        'priors': torch.from_numpy(sc['priors']),
+        'proto': torch.from_numpy(sc['proto']),
+        'segm': torch.from_numpy(sc['segm']),
+    }
+    target = np.concatenate([sc['gt_boxes'], sc['gt_labels'][:, None]],
+                            axis=1)
+    losses = criterion(None, predictions, [torch.from_numpy(target)],
+                       [torch.from_numpy(sc['gt_masks'])], [sc['crowds']])
+    return {k: float(v) for k, v in losses.items()}

@@ -142,3 +142,18 @@ def test_sgd_matches_torch(rng):
         updates, opt_state = tx.update({'w': g}, opt_state, params)
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(params['w'], tw.detach().numpy(), atol=1e-5)
+
+
+def test_class_balanced_conf_state(rng):
+    """use_class_balanced_conf accumulates counts in the train state."""
+    from yolact_tpu.train.step import create_train_state, train_step
+    cfg = tiny_resnet_config(use_class_balanced_conf=True)
+    model, state = create_train_state(cfg, seed=0)
+    assert state.conf_state is not None
+    batch = make_batch(rng, cfg)
+    step = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r))
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses['total']))
+    assert float(state.conf_state['total']) > 0
+    assert float(np.asarray(state.conf_state['class_counts']).sum()) == \
+        pytest.approx(float(state.conf_state['total']))

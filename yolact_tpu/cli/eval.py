@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument('--video', default=None, type=str)
     p.add_argument('--video_multiframe', default=1, type=int)
     p.add_argument('--score_threshold', default=0, type=float)
+    p.add_argument('--eval_batch_size', default=1, type=int,
+                   help='device batch for dataset evaluation (TPU '
+                        'throughput knob; no reference equivalent)')
     p.add_argument('--dataset', default=None, type=str)
     p.add_argument('--detect', default=False, dest='detect',
                    action='store_true',
@@ -177,10 +180,15 @@ def main(argv=None):
                       top_k=args.top_k, display_fps=True)
         return
 
-    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.eval.evaluate import (calc_map_from_file,
+                                          evaluate_dataset, make_eval_dataset)
+    if args.resume:
+        calc_map_from_file(cfg, args.ap_data_file)
+        return
     dataset = make_eval_dataset(cfg)
     evaluate_dataset(
         cfg, variables, dataset, maskiou_variables=maskiou_vars,
+        eval_batch_size=args.eval_batch_size,
         max_images=args.max_images, fast_nms=args.fast_nms,
         cross_class_nms=args.cross_class_nms,
         score_threshold=args.score_threshold, crop_masks=args.crop,
@@ -189,7 +197,7 @@ def main(argv=None):
         bbox_det_file=args.bbox_det_file, mask_det_file=args.mask_det_file,
         output_web_json=args.output_web_json, web_det_path=args.web_det_path,
         benchmark=args.benchmark, mask_proto_debug=args.mask_proto_debug,
-        quiet=args.no_bar)
+        ap_data_file=args.ap_data_file, quiet=args.no_bar)
 
 
 if __name__ == '__main__':

@@ -111,7 +111,26 @@ def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
     priors = pred_outs['priors'].astype(jnp.float32)
     proto = pred_outs['proto'].astype(jnp.float32)
 
-    conf = jax.nn.softmax(conf, axis=-1)
+    # eval-branch score transform (yolact.py:650-674)
+    if cfg.use_focal_loss:
+        if cfg.use_sigmoid_focal_loss:
+            conf = jax.nn.sigmoid(conf)
+            if cfg.use_mask_scoring and 'score' in pred_outs:
+                conf = conf * jax.nn.sigmoid(
+                    pred_outs['score'].astype(jnp.float32))
+        elif cfg.use_objectness_score:
+            objness = jax.nn.sigmoid(conf[..., 0])
+            fg = objness[..., None] * jax.nn.softmax(conf[..., 1:], axis=-1)
+            conf = jnp.concatenate([(1 - objness)[..., None], fg], axis=-1)
+        else:
+            conf = jax.nn.softmax(conf, axis=-1)
+    elif cfg.use_objectness_score:
+        objness = jax.nn.sigmoid(conf[..., 0])
+        fg = (objness > 0.10)[..., None].astype(conf.dtype) * \
+            jax.nn.softmax(conf[..., 1:], axis=-1)
+        conf = jnp.concatenate([conf[..., :1], fg], axis=-1)
+    else:
+        conf = jax.nn.softmax(conf, axis=-1)
     scores_all = jnp.swapaxes(conf[..., 1:], 1, 2)          # [B, C-1, P]
 
     # candidate filter: max class score over foreground > conf_thresh

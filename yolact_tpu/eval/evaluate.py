@@ -1,16 +1,20 @@
 """Quantitative COCO evaluation driver.
 
 Port of the reference ``evaluate`` loop (``eval.py:870-1003``): deterministic
-badhash image order, per-image forward + detection, greedy AP matching into
-APDataObject, final calc_map table; optional COCO-json output mode.  The
-device work (preprocess-free forward + fast-NMS + mask assembly) is one
-jitted program; the host only decodes images, upsamples the 100 padded
-proto-res masks to the original size, and updates AP state.
+badhash image order, forward + detection, greedy AP matching into
+APDataObject, final calc_map table; optional COCO-json output mode.
+
+TPU-shaped beyond the reference: images are prefetched by a host thread and
+processed in fixed-size device batches (``eval_batch_size``) through ONE
+jitted program (forward + fast-NMS + Pallas mask assembly); the host only
+decodes images, upsamples the padded proto-res masks, and updates AP state.
 """
 
 from __future__ import annotations
 
+import queue
 import random as _random
+import threading
 from typing import Dict, Optional
 
 import numpy as np
@@ -38,10 +42,20 @@ def sanitize_boxes_np(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def _prefetcher(dataset, indices, out_q, stop):
+    for idx in indices:
+        if stop.is_set():
+            return
+        item = dataset.pull_item(idx)
+        out_q.put((idx, item))
+    out_q.put(None)
+
+
 def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                      dataset: COCODetection,
                      maskiou_variables: Optional[Dict] = None,
                      max_images: int = -1,
+                     eval_batch_size: int = 1,
                      fast_nms: bool = True,
                      cross_class_nms: bool = False,
                      score_threshold: float = 0.0,
@@ -55,6 +69,7 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                      web_det_path: str = 'web/dets/',
                      benchmark: bool = False,
                      mask_proto_debug: bool = False,
+                     ap_data_file: Optional[str] = None,
                      quiet: bool = False) -> Optional[Dict]:
     """Returns the all_maps dict (or None for json/benchmark modes)."""
     pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
@@ -80,85 +95,115 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
     ap_data = make_ap_data(len(cfg.dataset.class_names))
     detections = DetectionsWriter(cfg)
 
+    item_q: "queue.Queue" = queue.Queue(maxsize=2 * eval_batch_size + 2)
+    stop = threading.Event()
+    threading.Thread(target=_prefetcher,
+                     args=(dataset, dataset_indices, item_q, stop),
+                     daemon=True).start()
+
     import time
-    for it, image_idx in enumerate(dataset_indices):
-        timer.reset()
-        with timer.env('Load Data'):
-            img, gt, gt_masks, h, w, num_crowd = dataset.pull_item(image_idx)
+    done = 0
+    pending = []  # (image_idx, item)
+    exhausted = False
+    t_last = time.perf_counter()
+    try:
+        while done < dataset_size:
+            while len(pending) < eval_batch_size and not exhausted:
+                got = item_q.get()
+                if got is None:
+                    exhausted = True
+                    break
+                pending.append(got)
+            if not pending:
+                break
+            batch_items = pending[:eval_batch_size]
+            pending = pending[len(batch_items):]
+            n_real = len(batch_items)
 
-        with timer.env('Network Extra'):
-            out = pipeline(np.asarray(img)[None])
-            valid = np.asarray(out.valid[0])
+            with timer.env('Network'):
+                imgs = np.stack([np.asarray(it[1][0]) for it in batch_items])
+                if n_real < eval_batch_size:
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:],
+                                         eval_batch_size - n_real, 0)])
+                out = pipeline(imgs)
+                valid_all = np.asarray(out.valid)
 
-        if mask_proto_debug and it == 0:
-            # dump prototype + gt masks for scripts/compute_masks.py
-            # (eval.py:938-942, output_utils.py:62-64)
-            import os
-            os.makedirs('scripts', exist_ok=True)
-            # re-run the raw forward to grab prototypes
-            from yolact_tpu.models.yolact import Yolact
-            preds = Yolact(cfg).apply(variables, np.asarray(img)[None])
-            np.save('scripts/proto.npy', np.asarray(preds['proto'][0]))
-            if gt_masks is not None:
-                np.save('scripts/gt.npy', np.asarray(gt_masks))
+            if mask_proto_debug and done == 0:
+                import os
+                os.makedirs('scripts', exist_ok=True)
+                from yolact_tpu.models.yolact import Yolact
+                preds = Yolact(cfg).apply(variables, imgs[:1])
+                np.save('scripts/proto.npy', np.asarray(preds['proto'][0]))
+                if batch_items[0][1][2] is not None:
+                    np.save('scripts/gt.npy',
+                            np.asarray(batch_items[0][1][2]))
 
-        if benchmark:
-            frame_times.add(timer.total_time())
-            continue
+            for bi, (image_idx, item) in enumerate(batch_items):
+                img, gt, gt_masks, h, w, num_crowd = item
+                now = time.perf_counter()
+                frame_times.add(now - t_last)
+                t_last = now
+                done += 1
+                if benchmark:
+                    continue
 
-        n = int(valid.sum())
-        classes = np.asarray(out.classes[0])[:n]
-        box_scores = np.asarray(out.scores[0])[:n]
-        if out.mask_scores is not None and cfg.rescore_mask:
-            mask_scores = np.asarray(out.mask_scores[0])[:n]
-            if cfg.rescore_bbox:
-                box_scores = mask_scores
-        else:
-            mask_scores = box_scores
-        boxes_rel = np.asarray(out.boxes[0])[:n]
-        proto_masks = np.asarray(out.masks[0])[:n]
+                n = int(valid_all[bi].sum())
+                classes = np.asarray(out.classes[bi])[:n]
+                box_scores = np.asarray(out.scores[bi])[:n]
+                if out.mask_scores is not None and cfg.rescore_mask:
+                    mask_scores = np.asarray(out.mask_scores[bi])[:n]
+                    if cfg.rescore_bbox:
+                        box_scores = mask_scores
+                else:
+                    mask_scores = box_scores
+                boxes_rel = np.asarray(out.boxes[bi])[:n]
+                proto_masks = np.asarray(out.masks[bi])[:n]
 
-        with timer.env('Postprocess'):
-            boxes_abs = sanitize_boxes_np(boxes_rel, w, h)
-            masks_full = finish_masks(proto_masks, w, h)
+                with timer.env('Postprocess'):
+                    boxes_abs = sanitize_boxes_np(boxes_rel, w, h)
+                    masks_full = finish_masks(proto_masks, w, h)
 
-        if cfg.discard_mask_area > 0 and n > 0:
-            # YOLACT++ small-mask discard (eval flag discard_mask_area)
-            areas = masks_full.reshape(n, -1).sum(axis=1)
-            keep = areas > cfg.discard_mask_area
-            classes, box_scores = classes[keep], box_scores[keep]
-            mask_scores = mask_scores[keep]
-            boxes_abs, masks_full = boxes_abs[keep], masks_full[keep]
-            n = int(keep.sum())
+                if cfg.discard_mask_area > 0 and n > 0:
+                    areas = masks_full.reshape(n, -1).sum(axis=1)
+                    keep = areas > cfg.discard_mask_area
+                    classes, box_scores = classes[keep], box_scores[keep]
+                    mask_scores = mask_scores[keep]
+                    boxes_abs, masks_full = boxes_abs[keep], masks_full[keep]
+                    n = int(keep.sum())
 
-        if output_coco_json:
-            with timer.env('JSON Output'):
-                image_id = dataset.ids[image_idx]
-                for i in range(n):
-                    if (boxes_abs[i, 3] - boxes_abs[i, 1]) * \
-                            (boxes_abs[i, 2] - boxes_abs[i, 0]) > 0:
-                        detections.add_bbox(image_id, classes[i],
-                                            boxes_abs[i], box_scores[i])
-                        detections.add_mask(image_id, classes[i],
-                                            masks_full[i], mask_scores[i])
-        elif compute_map and gt is not None:
-            gt = np.asarray(gt)
-            gt_boxes = gt[:, :4].copy()
-            gt_boxes[:, [0, 2]] *= w
-            gt_boxes[:, [1, 3]] *= h
-            with timer.env('Main loop'):
-                prep_metrics(ap_data, classes, box_scores, mask_scores,
-                             boxes_abs, masks_full, gt_boxes,
-                             gt[:, 4].astype(int), np.asarray(gt_masks),
-                             num_crowd)
+                if output_coco_json:
+                    with timer.env('JSON Output'):
+                        image_id = dataset.ids[image_idx]
+                        for i in range(n):
+                            if (boxes_abs[i, 3] - boxes_abs[i, 1]) * \
+                                    (boxes_abs[i, 2] - boxes_abs[i, 0]) > 0:
+                                detections.add_bbox(image_id, classes[i],
+                                                    boxes_abs[i],
+                                                    box_scores[i])
+                                detections.add_mask(image_id, classes[i],
+                                                    masks_full[i],
+                                                    mask_scores[i])
+                elif compute_map and gt is not None:
+                    gt = np.asarray(gt)
+                    gt_boxes = gt[:, :4].copy()
+                    gt_boxes[:, [0, 2]] *= w
+                    gt_boxes[:, [1, 3]] *= h
+                    with timer.env('Main loop'):
+                        prep_metrics(ap_data, classes, box_scores,
+                                     mask_scores, boxes_abs, masks_full,
+                                     gt_boxes, gt[:, 4].astype(int),
+                                     np.asarray(gt_masks), num_crowd)
 
-        frame_times.add(timer.total_time())
-        if not quiet:
-            fps = 1 / frame_times.get_avg() if it > 0 else 0
-            progress_bar.set_val(it + 1)
-            print(f'\rProcessing Images  {progress_bar} '
-                  f'{it + 1:6d} / {dataset_size:6d} ({(it + 1) * 100 / dataset_size:5.2f}%) '
-                  f'{fps:7.2f} fps ', end='')
+                if not quiet:
+                    fps = 1 / frame_times.get_avg() if done > 1 else 0
+                    progress_bar.set_val(done)
+                    print(f'\rProcessing Images  {progress_bar} '
+                          f'{done:6d} / {dataset_size:6d} '
+                          f'({done * 100 / dataset_size:5.2f}%) '
+                          f'{fps:7.2f} fps ', end='')
+    finally:
+        stop.set()
 
     if not quiet:
         print()
@@ -179,7 +224,24 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
             detections.dump_web(web_det_path)
         return None
 
+    if ap_data_file:
+        # raw AP state dump for --resume (eval.py ap_data_file flow)
+        import os
+        import pickle
+        os.makedirs(os.path.dirname(ap_data_file) or '.', exist_ok=True)
+        with open(ap_data_file, 'wb') as f:
+            pickle.dump(ap_data, f)
+
     return calc_map(ap_data, cfg.dataset.class_names, print_table=not quiet)
+
+
+def calc_map_from_file(cfg: YolactConfig, ap_data_file: str) -> Dict:
+    """Recompute the mAP table from a saved ap_data pickle
+    (eval.py --resume)."""
+    import pickle
+    with open(ap_data_file, 'rb') as f:
+        ap_data = pickle.load(f)
+    return calc_map(ap_data, cfg.dataset.class_names)
 
 
 def make_eval_dataset(cfg: YolactConfig) -> COCODetection:

@@ -27,13 +27,16 @@ from yolact_tpu.utils.functions import SavePath
 def _to_state_dict(state) -> Dict[str, Any]:
     # to_state_dict turns optax's tuple-of-namedtuples opt state into
     # nested dicts msgpack can serialize.
-    return {
+    out = {
         'step': np.asarray(state.step),
         'params': jax.tree.map(np.asarray, state.params),
         'batch_stats': jax.tree.map(np.asarray, state.batch_stats),
         'opt_state': serialization.to_state_dict(
             jax.tree.map(np.asarray, state.opt_state)),
     }
+    if getattr(state, 'conf_state', None) is not None:
+        out['conf_state'] = jax.tree.map(np.asarray, state.conf_state)
+    return out
 
 
 def save_checkpoint(state, path: str) -> None:
@@ -53,12 +56,15 @@ def load_checkpoint(path: str, state):
         blob = serialization.msgpack_restore(f.read())
     target = _to_state_dict(state)
     restored = serialization.from_state_dict(target, blob)
-    return state.replace(
+    state = state.replace(
         step=jax.numpy.asarray(restored['step']),
         params=restored['params'],
         batch_stats=restored['batch_stats'],
         opt_state=serialization.from_state_dict(state.opt_state,
                                                 blob['opt_state']))
+    if 'conf_state' in blob:
+        state = state.replace(conf_state=blob['conf_state'])
+    return state
 
 
 def save_weights_only(variables: Dict, path: str) -> None:

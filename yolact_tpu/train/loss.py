@@ -60,8 +60,15 @@ def _resize_masks(masks, size):
     return resize_bilinear_torch(masks, size)
 
 
-def ohem_conf_loss(cfg: YolactConfig, conf_data, conf_t, pos):
-    """OHEM with 3:1 hard negative mining (multibox_loss.py:242-296)."""
+def ohem_conf_loss(cfg: YolactConfig, conf_data, conf_t, pos,
+                   conf_state=None):
+    """OHEM with 3:1 hard negative mining (multibox_loss.py:242-296).
+
+    With ``use_class_balanced_conf``, `conf_state` is a dict
+    {'class_counts': [C], 'total': []} of running selected-example counts
+    (the reference keeps these as module state, :275-295); the updated
+    state is returned alongside the loss.
+    """
     B, P, C = conf_data.shape
     batch_conf = conf_data.reshape(-1, C)
     if cfg.ohem_use_most_confident:
@@ -87,7 +94,19 @@ def ohem_conf_loss(cfg: YolactConfig, conf_data, conf_t, pos):
     logp = _log_softmax(conf_data)
     tgt = jnp.clip(conf_t, 0, C - 1)
     ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    return cfg.conf_alpha * jnp.sum(ce * selected)
+
+    if cfg.use_class_balanced_conf and conf_state is not None:
+        sel_f = selected.reshape(-1).astype(jnp.float32)
+        onehot = jax.nn.one_hot(tgt.reshape(-1), C, dtype=jnp.float32)
+        new_counts = conf_state['class_counts'] + (onehot * sel_f[:, None]).sum(0)
+        new_total = conf_state['total'] + sel_f.sum()
+        weighting = 1.0 - new_counts[tgt] / jnp.maximum(new_total, 1.0)
+        weighting = jnp.maximum(weighting, 1.0 / C)
+        avg_weight = (C - 1) / C
+        loss = jnp.sum(ce * selected * weighting) / avg_weight
+        return cfg.conf_alpha * loss, \
+            {'class_counts': new_counts, 'total': new_total}
+    return cfg.conf_alpha * jnp.sum(ce * selected), conf_state
 
 
 def focal_conf_loss(cfg: YolactConfig, conf_data, conf_t):
@@ -396,10 +415,12 @@ def mask_iou_loss(cfg: YolactConfig, maskiou_apply, t: MaskIoUTargets):
 
 
 def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
-                  batch: Dict, maskiou_apply=None
+                  batch: Dict, maskiou_apply=None, conf_state=None
                   ) -> Tuple[Dict[str, jnp.ndarray], MatchResult]:
     """Full training loss.  `batch` is the padded dict from data.coco.pad_batch
-    (gt_masks may be uint8).  Returns ({letter: scalar}, match_result)."""
+    (gt_masks may be uint8).  Returns ({letter: scalar}, match_result) —
+    with use_class_balanced_conf the updated conf_state rides back in
+    losses['_conf_state'] (popped by the train step, never summed)."""
     loc_data = predictions['loc'].astype(jnp.float32)
     conf_data = predictions['conf'].astype(jnp.float32)
     mask_data = predictions['mask'].astype(jnp.float32)
@@ -448,7 +469,10 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
             losses['C'] = conf_objectness_loss(cfg, conf_data, m.conf_t,
                                                loc_data, m.loc_t, priors)
         else:
-            losses['C'] = ohem_conf_loss(cfg, conf_data, m.conf_t, m.pos)
+            losses['C'], new_conf_state = ohem_conf_loss(
+                cfg, conf_data, m.conf_t, m.pos, conf_state)
+            if cfg.use_class_balanced_conf and new_conf_state is not None:
+                losses['_conf_state'] = new_conf_state
 
     if cfg.use_maskiou and maskiou_targets is not None and \
             maskiou_apply is not None:
@@ -463,6 +487,8 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
 
     B = loc_data.shape[0]
     for k in losses:
+        if k == '_conf_state':
+            continue
         if k in ('P', 'E', 'S'):
             losses[k] = losses[k] / B
         else:

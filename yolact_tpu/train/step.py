@@ -31,6 +31,9 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # running selected-example class counts for use_class_balanced_conf
+    # (reference keeps these as MultiBoxLoss module state)
+    conf_state: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -72,9 +75,14 @@ def create_train_state(cfg: YolactConfig, seed: int = 0,
                        jnp.zeros((1, Hp, Hp, 1), jnp.float32))
         params['maskiou'] = mv['params']
     tx = make_optimizer(cfg)
+    conf_state = None
+    if cfg.use_class_balanced_conf:
+        conf_state = {'class_counts': jnp.zeros(cfg.num_classes, jnp.float32),
+                      'total': jnp.zeros((), jnp.float32)}
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=variables.get('batch_stats', {}),
-                       opt_state=tx.init(params), tx=tx)
+                       opt_state=tx.init(params), tx=tx,
+                       conf_state=conf_state)
     return model, state
 
 
@@ -100,11 +108,13 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
             maskiou_apply = lambda m: maskiou_model.apply(
                 {'params': params['maskiou']}, m)
         losses, _ = multibox_loss(cfg, rng, preds, batch,
-                                  maskiou_apply=maskiou_apply)
+                                  maskiou_apply=maskiou_apply,
+                                  conf_state=state.conf_state)
+        new_conf_state = losses.pop('_conf_state', state.conf_state)
         total = sum(losses.values())
-        return total, (losses, new_stats)
+        return total, (losses, new_stats, new_conf_state)
 
-    (total, (losses, new_stats)), grads = jax.value_and_grad(
+    (total, (losses, new_stats, new_conf_state)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
     # non-finite guard: keep old state if the loss exploded (train.py:312-318)
@@ -119,11 +129,13 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     new_state = state.replace(step=state.step + 1,
                               params=optax.apply_updates(state.params, updates),
                               opt_state=new_opt)
+    new_state = new_state.replace(conf_state=new_conf_state)
     # iteration still advances on a skipped step, like the reference loop
     new_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
                              new_state.replace(batch_stats=new_stats),
                              state.replace(batch_stats=new_stats,
-                                           step=new_state.step))
+                                           step=new_state.step,
+                                           conf_state=new_conf_state))
     losses = dict(losses, total=total,
                   lr=learning_rate(cfg, state.step))
     return new_state, losses
