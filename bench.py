@@ -1,9 +1,15 @@
 """Benchmark: yolact_base full inference pipeline on one TPU chip.
 
 Measures end-to-end frames/sec at 550x550 — device preprocess + backbone +
-FPN + protonet + heads + softmax + fast-NMS + prototype mask assembly, all
-in one jitted program (the same scope the reference times in
-``eval.py --benchmark``, minus host-side image decode).
+FPN + protonet + heads + softmax + fast-NMS + Pallas mask assembly — the
+same scope the reference times in ``eval.py --benchmark`` minus host image
+decode.
+
+Methodology note: this host reaches the TPU through a relay that pipelines
+and can coalesce identical async dispatches, so naive enqueue-N-then-block
+timing over-reports wildly.  The loop below chains each iteration's input on
+the previous iteration's output (one scalar folded into one pixel), forcing
+N genuinely serial executions on device, and blocks once at the end.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: 33.5 fps for yolact_base on a Titan Xp (README.md:72).
@@ -15,40 +21,54 @@ import time
 
 import numpy as np
 
+import yolact_tpu.utils.jax_setup  # noqa: F401  persistent compile cache
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from yolact_tpu.config import get_config
-    from yolact_tpu.infer import Pipeline, random_variables
+    from yolact_tpu.infer import forward_and_detect, random_variables
+    from yolact_tpu.models.yolact import Yolact
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     dtype = sys.argv[3] if len(sys.argv) > 3 else 'bfloat16'
 
     cfg = get_config('yolact_base').copy(compute_dtype=dtype)
+    model = Yolact(cfg)
     variables = random_variables(cfg)
-    pipe = Pipeline(cfg, variables)
+
+    @jax.jit
+    def chained(images, n):
+        def body(_, carry):
+            img, acc = carry
+            out = forward_and_detect(cfg, model, variables, img)
+            s = jnp.sum(out.scores) * 1e-6
+            # serial dependency: fold the result into one input pixel
+            img = img.at[0, 0, 0, 0].add(s)
+            return img, acc + s
+        _, acc = jax.lax.fori_loop(0, n, body, (images, 0.0))
+        return acc
 
     rng = np.random.RandomState(0)
-    imgs = rng.randint(0, 256, (batch, cfg.max_size, cfg.max_size, 3)
-                       ).astype(np.float32)
-    imgs = jnp.asarray(imgs)
-
-    # warmup / compile
-    out = pipe(imgs)
-    jax.block_until_ready(out)
+    imgs = jnp.asarray(rng.randint(0, 256, (batch, cfg.max_size,
+                                            cfg.max_size, 3))
+                       .astype(np.float32))
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipe(imgs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    jax.block_until_ready(chained(imgs, 2))  # compile + warmup
+    print(f'# compile+warmup: {time.perf_counter() - t0:.1f}s',
+          file=sys.stderr)
 
-    fps = batch * iters / dt
+    t0 = time.perf_counter()
+    jax.block_until_ready(chained(imgs, iters))
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = batch / dt
     print(json.dumps({
-        'metric': f'yolact_base_550_fps_b{batch}_{dtype}',
+        'metric': f'yolact_base_550_e2e_fps_b{batch}_{dtype}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 33.5, 3),

@@ -49,8 +49,8 @@ def postprocess_device(cfg: YolactConfig, dets: Detections,
                   and cfg.mask_proto_mask_activation == 'sigmoid')
 
     if use_pallas:
-        from yolact_tpu.kernels.mask_assembly import assemble_masks_pallas
-        masks = jax.vmap(assemble_masks_pallas)(proto, coeffs, dets.boxes)
+        from yolact_tpu.kernels.mask_assembly import assemble_masks_mapped
+        masks = assemble_masks_mapped(proto, coeffs, dets.boxes)
     else:
         def per_image(proto_i, coeffs_i, boxes_i):
             m = jnp.einsum('hwc,dc->hwd', proto_i, coeffs_i,
