@@ -70,3 +70,27 @@ def test_shared_head_params_shared():
     nonshared = cfg.copy(share_prediction_module=False)
     v2 = Yolact(nonshared).init(jax.random.PRNGKey(0), x)
     assert 'prediction_layers_1' in v2['params']
+
+
+def test_nonsquare_forward_preserve_ar():
+    """preserve_aspect_ratio path: non-square input, priors track (h, w)."""
+    cfg = tiny_resnet_config(preserve_aspect_ratio=True)
+    model = Yolact(cfg)
+    x = jnp.zeros((1, 96, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    sizes = feature_map_sizes(cfg, (96, 128))
+    P = sum(h * w * 3 for h, w in sizes)
+    assert out['loc'].shape == (1, P, 4)
+    assert out['priors'].shape == (P, 4)
+
+
+def test_use_prediction_module():
+    """DSSD (c) prediction module variant builds and runs."""
+    cfg = tiny_resnet_config(use_prediction_module=True)
+    model = Yolact(cfg)
+    x = jnp.zeros((1, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert 'block' in variables['params']['prediction_layers_0']
+    out = model.apply(variables, x)
+    assert np.isfinite(np.asarray(out['loc'])).all()

@@ -217,3 +217,42 @@ def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100):
 
     return dict(image=out_img, gt_boxes=boxes, gt_labels=labels,
                 gt_masks=out_masks, num_gts=n_gts, num_crowds=n_crowds)
+
+
+def enforce_size(img, targets, masks, num_crowds, new_w, new_h):
+    """Resize (aspect-preserving) + zero-pad an image/gt tuple to exactly
+    (new_h, new_w) — host-side util for batching preserve_aspect_ratio
+    inputs (reference data/coco.py:219-255).
+
+    img: [h, w, 3] float; masks: [n, h, w]; targets: [n, 5] normalized.
+    """
+    import cv2
+    h, w = img.shape[:2]
+    if h == new_h and w == new_w:
+        return img, targets, masks, num_crowds
+
+    w_prime = new_w
+    h_prime = h * new_w / w
+    if h_prime > new_h:
+        w_prime *= new_h / h_prime
+        h_prime = new_h
+    w_prime, h_prime = int(w_prime), int(h_prime)
+
+    img = cv2.resize(img, (w_prime, h_prime), interpolation=cv2.INTER_LINEAR)
+    if masks is not None and len(masks):
+        m = cv2.resize(masks.transpose(1, 2, 0), (w_prime, h_prime),
+                       interpolation=cv2.INTER_LINEAR)
+        masks = m[None] if m.ndim == 2 else m.transpose(2, 0, 1)
+
+    if targets is not None and len(targets):
+        targets = targets.copy()
+        targets[:, [0, 2]] *= (w_prime / new_w)
+        targets[:, [1, 3]] *= (h_prime / new_h)
+
+    out = np.zeros((new_h, new_w) + img.shape[2:], img.dtype)
+    out[:h_prime, :w_prime] = img
+    if masks is not None and len(masks):
+        mp = np.zeros((masks.shape[0], new_h, new_w), masks.dtype)
+        mp[:, :h_prime, :w_prime] = masks
+        masks = mp
+    return out, targets, masks, num_crowds

@@ -29,11 +29,20 @@ def preprocess_device(cfg: YolactConfig, img: jnp.ndarray,
                       out_size: Optional[int] = None) -> jnp.ndarray:
     """Device-side FastBaseTransform: [B, H, W, 3] BGR float [0,255] ->
     normalized RGB [B, S, S, 3] (augmentations.py:616-658)."""
-    size = out_size or cfg.max_size
     B = img.shape[0]
     img = img.astype(jnp.float32)
-    if img.shape[1] != size or img.shape[2] != size:
-        img = jax.image.resize(img, (B, size, size, 3), method='linear')
+    if out_size is not None:
+        size = (out_size, out_size)
+    elif cfg.preserve_aspect_ratio:
+        # area-preserving target (augmentations.py:131-137, FastBaseTransform)
+        from yolact_tpu.data.augmentations import calc_size_preserve_ar
+        tw, th = calc_size_preserve_ar(img.shape[2], img.shape[1],
+                                       cfg.max_size)
+        size = (th, tw)
+    else:
+        size = (cfg.max_size, cfg.max_size)
+    if img.shape[1] != size[0] or img.shape[2] != size[1]:
+        img = jax.image.resize(img, (B, size[0], size[1], 3), method='linear')
     t = cfg.backbone.transform
     mean = jnp.asarray(MEANS, jnp.float32)
     std = jnp.asarray(STD, jnp.float32)

@@ -75,6 +75,19 @@ class PredictionHead(nn.Module):
             x = SpecNet(cfg.extra_head_net, include_last_relu=True,
                         dtype=self.dtype, name='upfeature')(x)
 
+        if cfg.use_prediction_module:
+            # DSSD (c) module (yolact.py:97-100,153-163): a bottleneck
+            # branch plus a 1x1 conv + BN branch, summed.
+            from yolact_tpu.models.resnet import Bottleneck
+            a = Bottleneck(planes=x.shape[-1] // 4, stride=1,
+                           has_downsample=False, dtype=self.dtype,
+                           name='block')(x)
+            b = Conv(x.shape[-1], 1, 1, 0, dtype=self.dtype,
+                     name='pm_conv')(x)
+            from yolact_tpu.models.layers import BatchNorm
+            b = BatchNorm(dtype=self.dtype, name='pm_bn')(b, False)
+            x = a + jax.nn.relu(b)
+
         hp = cfg.head_layer_params_dict
         k = hp.get('kernel_size', 3)
         p = hp.get('padding', 0)

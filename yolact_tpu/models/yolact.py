@@ -117,7 +117,7 @@ class Yolact(nn.Module):
             for k in preds[0]}
 
         pred_outs['priors'] = jnp.asarray(
-            generate_priors(cfg, x.shape[1]), jnp.float32)
+            generate_priors(cfg, (x.shape[1], x.shape[2])), jnp.float32)
 
         if proto_out is not None:
             pred_outs['proto'] = proto_out

@@ -88,12 +88,7 @@ def _vgg_sizes(img: int, arch, extra_args, num_layers: int) -> List[int]:
     return sizes
 
 
-def feature_map_sizes(cfg: YolactConfig, img_size: int | None = None
-                      ) -> Tuple[Tuple[int, int], ...]:
-    """(h, w) of each prediction feature map, in head order (P3..P7 when an
-    FPN is present).  Square inputs only (the reference always resizes to
-    max_size x max_size, augmentations.py:129-180)."""
-    img = img_size or cfg.max_size
+def _feature_sizes_1d(cfg: YolactConfig, img: int) -> list:
     bb = cfg.backbone
     n_backbone = max(bb.selected_layers) + 1
 
@@ -120,7 +115,22 @@ def feature_map_sizes(cfg: YolactConfig, img_size: int | None = None
             else:
                 # max_pool2d(1, stride=2)
                 selected.append((selected[-1] - 1) // 2 + 1)
-    return tuple((s, s) for s in selected)
+    return selected
+
+
+def feature_map_sizes(cfg: YolactConfig, img_size=None
+                      ) -> Tuple[Tuple[int, int], ...]:
+    """(h, w) of each prediction feature map, in head order (P3..P7 when an
+    FPN is present).  `img_size` may be an int (square, the normal path —
+    augmentations resize to max_size x max_size) or an (h, w) tuple for
+    preserve_aspect_ratio inputs."""
+    img = img_size or cfg.max_size
+    if isinstance(img, tuple):
+        hs = _feature_sizes_1d(cfg, img[0])
+        ws = _feature_sizes_1d(cfg, img[1])
+        return tuple(zip(hs, ws))
+    sizes = _feature_sizes_1d(cfg, img)
+    return tuple((s, s) for s in sizes)
 
 
 def _level_priors(conv_h: int, conv_w: int, aspect_ratios, scales,
@@ -178,7 +188,7 @@ def _fast_level_priors(conv_h: int, conv_w: int, aspect_ratios, scales,
 
 
 @lru_cache(maxsize=32)
-def _generate_priors_cached(cfg: YolactConfig, img_size: int) -> np.ndarray:
+def _generate_priors_cached(cfg: YolactConfig, img_size) -> np.ndarray:
     sizes = feature_map_sizes(cfg, img_size)
     levels = []
     for idx, (h, w) in enumerate(sizes):
@@ -188,10 +198,11 @@ def _generate_priors_cached(cfg: YolactConfig, img_size: int) -> np.ndarray:
     return np.concatenate(levels, axis=0)
 
 
-def generate_priors(cfg: YolactConfig, img_size: int | None = None) -> np.ndarray:
-    """All priors [num_priors, 4] in center-size form, cached per config."""
+def generate_priors(cfg: YolactConfig, img_size=None) -> np.ndarray:
+    """All priors [num_priors, 4] in center-size form, cached per config.
+    `img_size` is an int or (h, w) tuple."""
     return _generate_priors_cached(cfg, img_size or cfg.max_size)
 
 
-def num_priors(cfg: YolactConfig, img_size: int | None = None) -> int:
+def num_priors(cfg: YolactConfig, img_size=None) -> int:
     return generate_priors(cfg, img_size).shape[0]
