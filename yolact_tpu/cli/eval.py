@@ -167,17 +167,14 @@ def main(argv=None):
         from yolact_tpu.eval.video import evalvideo
         if ':' in args.video:
             inp, out = args.video.split(':')
-            evalvideo(cfg, variables, inp, out,
-                      video_multiframe=args.video_multiframe,
-                      maskiou_variables=maskiou_vars,
-                      score_threshold=args.score_threshold or 0.15,
-                      top_k=args.top_k, display_fps=True)
         else:
-            evalvideo(cfg, variables, args.video,
-                      video_multiframe=args.video_multiframe,
-                      maskiou_variables=maskiou_vars,
-                      score_threshold=args.score_threshold or 0.15,
-                      top_k=args.top_k, display_fps=True)
+            inp, out = args.video, None
+        evalvideo(cfg, variables, inp, out,
+                  video_multiframe=args.video_multiframe,
+                  maskiou_variables=maskiou_vars,
+                  score_threshold=args.score_threshold or 0.15,
+                  top_k=args.top_k, display_fps=True,
+                  emulate_playback=args.emulate_playback)
         return
 
     from yolact_tpu.eval.evaluate import (calc_map_from_file,

@@ -126,7 +126,15 @@ def train(argv=None):
                 start_iter = int(state.step)
     state = state.replace(step=np.int32(start_iter))
 
-    mesh = make_mesh()
+    # 1-D data mesh over the largest device count dividing the batch
+    devices = jax.devices()
+    n_use = len(devices)
+    while args.batch_size % n_use:
+        n_use -= 1
+    if n_use < len(devices):
+        print(f'batch_size {args.batch_size} not divisible by '
+              f'{len(devices)} devices; using {n_use}.')
+    mesh = make_mesh(devices[:n_use])
     state = jax.device_put(state, replicate(mesh))
     step_fn = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r),
                       donate_argnums=(0,))

@@ -123,7 +123,8 @@ def prep_metrics(ap_data, classes: Sequence[int],
         crowd_boxes = crowd_masks = None
         crowd_classes = []
 
-    masks_f = np.asarray(masks, np.float32).reshape(num_pred, -1)
+    hw = int(np.prod(np.asarray(masks).shape[1:])) if num_pred else 1
+    masks_f = np.asarray(masks, np.float32).reshape(num_pred, hw)
     boxes_f = np.asarray(boxes, np.float32).reshape(num_pred, 4)
 
     mask_iou_cache = _np_mask_iou(masks_f, gt_masks)

@@ -36,6 +36,7 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
               score_threshold: float = 0.15,
               top_k: int = 15,
               display_fps: bool = True,
+              emulate_playback: bool = False,
               max_frames: int = -1) -> float:
     """Returns average end-to-end fps.  `path` may be a file or a webcam
     index string (eval.py:644-650)."""
@@ -124,6 +125,12 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
             if writer is not None:
                 writer.write(img)
             processed += 1
+            if emulate_playback:
+                # pace output at the source frame rate (eval.py:718-789
+                # playback-rate stabilizer)
+                budget = 1.0 / target_fps - (time.perf_counter() - now)
+                if budget > 0:
+                    time.sleep(budget)
 
         print(f'\rProcessing: {processed} frames | {fps:.2f} fps  ', end='')
 

@@ -117,8 +117,14 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     (total, (losses, new_stats, new_conf_state)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
-    # non-finite guard: keep old state if the loss exploded (train.py:312-318)
-    finite = jnp.isfinite(total)
+    # non-finite guard (train.py:312-318) — extended to the gradients: the
+    # loss can still be finite on the step where the backward pass
+    # overflows, and a loss-only check (the reference's) lets NaN into the
+    # params permanently.
+    grads_finite = jnp.array(True)
+    for g in jax.tree_util.tree_leaves(grads):
+        grads_finite &= jnp.all(jnp.isfinite(g))
+    finite = jnp.isfinite(total) & grads_finite
     grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)),
                          grads)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
