@@ -157,3 +157,35 @@ def test_class_balanced_conf_state(rng):
     assert float(state.conf_state['total']) > 0
     assert float(np.asarray(state.conf_state['class_counts']).sum()) == \
         pytest.approx(float(state.conf_state['total']))
+
+
+def test_bce_backward_matches_torch():
+    """_torch_bce must reproduce torch's eps-clamped BCE backward — the
+    naive autodiff chain infs out for subnormal probabilities (the bug that
+    silently stalled training via the non-finite-grad guard)."""
+    torch = pytest.importorskip('torch')
+    import jax.numpy as jnp
+    from yolact_tpu.train.loss import _torch_bce
+
+    p_np = np.array([1e-40, 2.2e-39, 1e-20, 0.3, 0.999999, 1.0, 0.0],
+                    np.float32)
+    t_np = np.array([1., 1., 1., 0., 0., 0., 1.], np.float32)
+    tp = torch.tensor(p_np, requires_grad=True)
+    tl = torch.nn.functional.binary_cross_entropy(
+        tp, torch.tensor(t_np), reduction='sum')
+    tl.backward()
+
+    def f(p):
+        return jnp.sum(_torch_bce(p, jnp.asarray(t_np)))
+    grad = np.asarray(jax.grad(f)(jnp.asarray(p_np)))
+    assert np.isfinite(grad).all()
+    np.testing.assert_allclose(grad, tp.grad.numpy(), rtol=1e-4)
+
+    # forward parity on non-subnormal probabilities (XLA flushes subnormals
+    # to zero, which just lands on the same -100 clamp branch)
+    p2 = np.array([1e-30, 0.2, 0.8, 1.0, 0.0], np.float32)
+    t2 = np.array([1., 0., 1., 0., 1.], np.float32)
+    want = float(torch.nn.functional.binary_cross_entropy(
+        torch.tensor(p2), torch.tensor(t2), reduction='sum'))
+    got = float(jnp.sum(_torch_bce(jnp.asarray(p2), jnp.asarray(t2))))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -63,6 +63,13 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
                         preprocess=True, score_threshold=score_threshold)
 
+    # frame size is fixed for a video: upsample+binarize the padded masks on
+    # device in the same jitted program scope instead of per-frame cv2 on
+    # the host (this host has 1 core; 100 cv2 resizes/frame would dominate)
+    import jax
+    from yolact_tpu.detect.postprocess import upsample_masks_device
+    upsample = jax.jit(lambda m: upsample_masks_device(m, (fh, fw)))
+
     frame_q: "queue.Queue" = queue.Queue(maxsize=3)
     stop = threading.Event()
 
@@ -103,17 +110,18 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
             batch = np.concatenate([batch, pad], axis=0)
 
         out = pipeline(batch)
+        masks_full_dev = upsample(out.masks)
         valid = np.asarray(out.valid)
         classes = np.asarray(out.classes)
         scores = np.asarray(out.scores)
         boxes = np.asarray(out.boxes)
-        masks = np.asarray(out.masks)
+        masks_full_np = np.asarray(masks_full_dev)
 
         for i in range(n_real):
             h, w = frames[i].shape[:2]
             n = int(valid[i].sum())
             boxes_abs = sanitize_boxes_np(boxes[i][:n], w, h)
-            full_masks = finish_masks(masks[i][:n], w, h)
+            full_masks = masks_full_np[i][:n]
             now = time.perf_counter()
             frame_times.add(now - t_last)
             t_last = now

@@ -36,11 +36,36 @@ def smooth_l1(pred, target):
     return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
 
 
+@jax.custom_vjp
 def _torch_bce(p, t):
-    """binary_cross_entropy with torch's -100 log clamp (F.binary_cross_entropy)."""
+    """binary_cross_entropy with torch's exact forward (-100 log clamp) AND
+    backward ((p-t)/max(p(1-p), 1e-12)) semantics.
+
+    The custom backward matters: for p in the f32 subnormal range
+    (sigmoid of logits around -90..-103) the naive autodiff chain computes
+    1/p -> inf before multiplying by sigmoid' ~ 0, permanently poisoning
+    training with inf gradients; torch's eps-clamped quotient stays finite.
+    """
     logp = jnp.maximum(jnp.log(jnp.maximum(p, 1e-45)), -100.0)
     log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 1e-45)), -100.0)
     return -(t * logp + (1.0 - t) * log1mp)
+
+
+def _torch_bce_fwd(p, t):
+    return _torch_bce(p, t), (p, t)
+
+
+def _torch_bce_bwd(res, g):
+    p, t = res
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)
+    dp = g * (p - t) / denom
+    logp = jnp.maximum(jnp.log(jnp.maximum(p, 1e-45)), -100.0)
+    log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 1e-45)), -100.0)
+    dt = g * (log1mp - logp)
+    return dp, dt
+
+
+_torch_bce.defvjp(_torch_bce_fwd, _torch_bce_bwd)
 
 
 def _bce_with_logits(x, t):
