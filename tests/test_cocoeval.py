@@ -92,3 +92,58 @@ def test_wrong_class_is_fp(tmp_path):
 @pytest.mark.skipif(True, reason='pycocotools not installed in this image')
 def test_against_pycocotools(tmp_path):
     pass
+
+
+def test_custom_evaluator_matches_cocoeval_protocol(tmp_path):
+    """The fast in-loop evaluator (eval/evaluator.py) and the full COCOeval
+    protocol implementation must agree on simple scenes (the reference's
+    stated design goal, eval.py:505-507)."""
+    from yolact_tpu.eval.evaluator import calc_map, make_ap_data, prep_metrics
+
+    rng = np.random.RandomState(0)
+    gt_objs = []
+    det_objs = []
+    ap_data = make_ap_data(2)
+    for img in (1, 2, 3):
+        gts, dets_img = [], []
+        for k in range(3):
+            x, y = (int(v) for v in rng.randint(0, 50, 2))
+            w, h = (int(v) for v in rng.randint(20, 40, 2))
+            cat = int(rng.randint(1, 3))
+            gt_objs.append((img, cat, (x, y, w, h), 0))
+            gts.append((cat, (x, y, w, h)))
+            # jittered detection; some misses
+            if k < 2:
+                dx, dy = (int(v) for v in rng.randint(-3, 3, 2))
+                score = float(rng.rand() * 0.5 + 0.5)
+                det_objs.append(det(img, cat, (x + dx, y + dy, w, h), score))
+                dets_img.append((cat, (x + dx, y + dy, w, h), score))
+        # one false positive per image
+        fp = det(img, 1, (70, 70, 20, 20), 0.4)
+        det_objs.append(fp)
+        dets_img.append((1, (70, 70, 20, 20), 0.4))
+
+        # feed the fast evaluator (expects x1y1x2y2 + full masks)
+        def to_xyxy(b):
+            return [b[0], b[1], b[0] + b[2], b[1] + b[3]]
+        def to_mask(b):
+            m = np.zeros((100, 100), bool)
+            m[int(b[1]):int(b[1] + b[3]), int(b[0]):int(b[0] + b[2])] = True
+            return m
+        classes = [c - 1 for c, b, s in dets_img]
+        scores = [s for c, b, s in dets_img]
+        boxes = np.array([to_xyxy(b) for c, b, s in dets_img], np.float32)
+        masks = np.stack([to_mask(b) for c, b, s in dets_img])
+        gt_classes = [c - 1 for c, b in gts]
+        gt_boxes = np.array([to_xyxy(b) for c, b in gts], np.float32)
+        gt_masks = np.stack([to_mask(b) for c, b in gts])
+        prep_metrics(ap_data, classes, scores, scores, boxes, masks,
+                     gt_boxes, gt_classes, gt_masks, num_crowd=0)
+
+    maps = calc_map(ap_data, ['a', 'b'], print_table=False)
+    gt_json = make_gt(tmp_path, gt_objs)
+    stats = COCOEvalLite(gt_json, det_objs, 'bbox').evaluate()
+    # 'all' mAP over IoU .5:.95 should agree closely
+    assert abs(maps['box']['all'] - stats['AP'] * 100) < 1.5, \
+        (maps['box']['all'], stats['AP'] * 100)
+    assert abs(maps['box'][50] - stats['AP50'] * 100) < 1.5
