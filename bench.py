@@ -45,7 +45,10 @@ def main():
         def body(_, carry):
             img, acc = carry
             out = forward_and_detect(cfg, model, variables, img)
-            s = jnp.sum(out.scores) * 1e-6
+            # consume every output so XLA cannot dead-code-eliminate the
+            # mask-assembly (or any other) stage
+            s = (jnp.sum(out.scores) + jnp.sum(out.masks) * 1e-3 +
+                 jnp.sum(out.boxes) + jnp.sum(out.classes + out.valid)) * 1e-6
             # serial dependency: fold the result into one input pixel
             img = img.at[0, 0, 0, 0].add(s)
             return img, acc + s

@@ -112,3 +112,35 @@ def test_postprocess_device_masks(rng):
     # score threshold filters validity
     _, dets3 = postprocess_device(cfg, dets, score_threshold=0.6)
     assert not bool(np.asarray(dets3.valid).any())
+
+
+def test_candidate_pruning_exact_when_few_candidates(rng):
+    """nms_candidates pruning must not change results when fewer than N
+    priors pass the confidence threshold."""
+    cfg0 = C.get_config('yolact_base').copy(num_classes=6, nms_candidates=0)
+    cfg1 = cfg0.copy(nms_candidates=64)
+    P, Md = 500, 8
+    priors = np.concatenate([rng.rand(P, 2), rng.rand(P, 2) * 0.2 + 0.05],
+                            axis=1).astype(np.float32)
+    # most priors confidently background => few candidates
+    conf = np.zeros((1, P, 6), np.float32)
+    conf[..., 0] = 8.0
+    hot = rng.choice(P, 40, replace=False)
+    conf[0, hot, 0] = 0.0
+    conf[0, hot, 1 + (hot % 5)] = 6.0
+    loc = (rng.randn(1, P, 4) * 0.3).astype(np.float32)
+    coeffs = rng.randn(1, P, Md).astype(np.float32)
+    proto = rng.rand(1, 16, 16, Md).astype(np.float32)
+    preds = dict(loc=jnp.asarray(loc), conf=jnp.asarray(conf),
+                 mask=jnp.asarray(coeffs), priors=jnp.asarray(priors),
+                 proto=jnp.asarray(proto))
+    d0 = detect(cfg0, preds)
+    d1 = detect(cfg1, preds)
+    np.testing.assert_array_equal(np.asarray(d0.valid), np.asarray(d1.valid))
+    v = np.asarray(d0.valid[0])
+    np.testing.assert_allclose(np.asarray(d0.scores[0])[v],
+                               np.asarray(d1.scores[0])[v], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d0.boxes[0])[v],
+                               np.asarray(d1.boxes[0])[v], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d0.classes[0])[v],
+                                  np.asarray(d1.classes[0])[v])

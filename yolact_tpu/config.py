@@ -396,6 +396,10 @@ class YolactConfig:
     # ------------------------------------------------------------------
     # Compute dtype for the conv trunk; params always stay float32.
     compute_dtype: str = 'float32'
+    # Detection candidate pruning: keep the top-N priors by best class
+    # score before the per-class NMS sorts (0 = disabled = exact reference
+    # semantics).  Exact whenever <= N priors pass nms_conf_thresh.
+    nms_candidates: int = 1024
 
     def copy(self, **kw) -> 'YolactConfig':
         for k in ('mask_proto_net', 'extra_head_net', 'maskiou_net',

@@ -134,10 +134,24 @@ def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
     scores_all = jnp.swapaxes(conf[..., 1:], 1, 2)          # [B, C-1, P]
 
     # candidate filter: max class score over foreground > conf_thresh
-    cand = jnp.max(scores_all, axis=1) > cfg.nms_conf_thresh  # [B, P]
+    best = jnp.max(scores_all, axis=1)                        # [B, P]
+    cand = best > cfg.nms_conf_thresh
     scores_all = jnp.where(cand[:, None, :], scores_all, -1.0)
 
     boxes = decode(loc, priors[None], cfg.use_yolo_regressors)  # [B, P, 4]
+
+    # Candidate pruning (TPU optimisation, cfg.nms_candidates): keep only
+    # the top-N priors by best class score before the per-class sorts.
+    # Exact whenever <= N priors pass conf_thresh (the typical case by a
+    # wide margin); the per-class top-k then works on [C-1, N] instead of
+    # [C-1, 19248], removing most of the detection-stage sort cost.
+    n_cand = getattr(cfg, 'nms_candidates', 0)
+    if n_cand and n_cand < scores_all.shape[-1]:
+        _, keep_idx = jax.lax.top_k(best, n_cand)             # [B, N]
+        scores_all = jnp.take_along_axis(
+            scores_all, keep_idx[:, None, :], axis=2)
+        boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
+        coeffs = jnp.take_along_axis(coeffs, keep_idx[..., None], axis=1)
 
     if use_cross_class_nms:
         fn = lambda b, c, s: _cc_fast_nms_single(cfg, b, c, s)
