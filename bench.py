@@ -32,11 +32,14 @@ def main():
     from yolact_tpu.infer import forward_and_detect, random_variables
     from yolact_tpu.models.yolact import Yolact
 
+    import os
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     dtype = sys.argv[3] if len(sys.argv) > 3 else 'bfloat16'
+    config_name = os.environ.get('BENCH_CONFIG', 'yolact_base')
+    profile_dir = os.environ.get('BENCH_PROFILE_DIR')
 
-    cfg = get_config('yolact_base').copy(compute_dtype=dtype)
+    cfg = get_config(config_name).copy(compute_dtype=dtype)
     model = Yolact(cfg)
     variables = random_variables(cfg)
 
@@ -65,13 +68,18 @@ def main():
     print(f'# compile+warmup: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
 
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            jax.block_until_ready(chained(imgs, 3))
+        print(f'# profile written to {profile_dir}', file=sys.stderr)
+
     t0 = time.perf_counter()
     jax.block_until_ready(chained(imgs, iters))
     dt = (time.perf_counter() - t0) / iters
 
     fps = batch / dt
     print(json.dumps({
-        'metric': f'yolact_base_550_e2e_fps_b{batch}_{dtype}',
+        'metric': f'{config_name}_{cfg.max_size}_e2e_fps_b{batch}_{dtype}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 33.5, 3),

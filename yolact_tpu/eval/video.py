@@ -75,20 +75,27 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
 
     def reader():
         read = 0
-        while not stop.is_set() and (num_frames <= 0 or read < num_frames):
-            frames = []
-            for _ in range(video_multiframe):
-                ok, frame = cap.read()
-                if not ok:
+        try:
+            while not stop.is_set() and (num_frames <= 0 or read < num_frames):
+                frames = []
+                for _ in range(video_multiframe):
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    frames.append(frame)
+                    read += 1
+                    if num_frames > 0 and read >= num_frames:
+                        break
+                if not frames:
                     break
-                frames.append(frame)
-                read += 1
-                if num_frames > 0 and read >= num_frames:
-                    break
-            if not frames:
-                break
-            frame_q.put(frames)
-        frame_q.put(None)
+                frame_q.put(frames)
+        except Exception:
+            # surface reader-thread failures instead of hanging the consumer
+            # (reference logs pipeline-thread exceptions, eval.py:785-789)
+            import traceback
+            traceback.print_exc()
+        finally:
+            frame_q.put(None)
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()

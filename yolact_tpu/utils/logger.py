@@ -133,6 +133,23 @@ class LogVisualizer:
         times = [e['time'] for e in self.logs if 'time' in e]
         return (max(times) - min(times)) if times else 0.0
 
+    def bar(self, labels_query: Union[str, Callable],
+            values_query: Union[str, Callable], entry_type: str = 'val',
+            out_path: Optional[str] = None):
+        """Bar chart over matching entries (logger.py bar command)."""
+        labels = self.query(labels_query, entry_type)
+        values = self.query(values_query, entry_type)
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        plt.figure()
+        n = min(len(labels), len(values))
+        plt.bar(range(n), values[:n])
+        plt.xticks(range(n), [str(l) for l in labels[:n]], rotation=45)
+        if out_path:
+            plt.savefig(out_path)
+        return plt.gcf()
+
     def plot(self, x_query: str, y_query: str, entry_type: str = 'train',
              out_path: Optional[str] = None):
         xs = self.query(x_query, entry_type)
