@@ -92,3 +92,25 @@ def test_cli_video(tiny_ckpt, tmp_path):
     cap = cv2.VideoCapture(out)
     assert round(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
     cap.release()
+
+
+def test_display_lincomb(tmp_path, rng):
+    from yolact_tpu.eval.display import display_lincomb
+    proto = rng.rand(16, 16, 8).astype(np.float32)
+    coeffs = np.tanh(rng.randn(3, 8)).astype(np.float32)
+    out = str(tmp_path / 'lincomb.png')
+    grid = display_lincomb(proto, coeffs, out_path=out)
+    assert os.path.exists(out)
+    assert grid.shape[0] % 16 == 0
+
+
+def test_cli_evalimage_lincomb(tiny_ckpt, tmp_path):
+    import cv2
+    from yolact_tpu.cli.eval import main
+    cfg, ckpt = tiny_ckpt
+    img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    inp = str(tmp_path / 'in.jpg')
+    cv2.imwrite(inp, img)
+    main(['--trained_model', ckpt, f'--image={inp}',
+          '--display_lincomb=True'])
+    assert os.path.exists(str(tmp_path / 'in_lincomb.png'))

@@ -120,6 +120,18 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
                         use_cross_class_nms=args.cross_class_nms,
                         score_threshold=args.score_threshold)
     out = pipeline(img.astype(np.float32)[None])
+
+    if args.display_lincomb:
+        # prototype-combination debug viz (output_utils.py:147-189)
+        from yolact_tpu.detect.detection import detect as detect_fn
+        from yolact_tpu.eval.display import display_lincomb
+        from yolact_tpu.infer import preprocess_device
+        from yolact_tpu.models.yolact import Yolact
+        preds = Yolact(cfg).apply(
+            variables, preprocess_device(cfg, img.astype(np.float32)[None]))
+        d = detect_fn(cfg, preds)
+        display_lincomb(np.asarray(d.proto[0]), np.asarray(d.masks[0]),
+                        out_path=os.path.splitext(path)[0] + '_lincomb.png')
     n = int(np.asarray(out.valid[0]).sum())
     boxes_abs = sanitize_boxes_np(np.asarray(out.boxes[0])[:n], w, h)
     masks = finish_masks(np.asarray(out.masks[0])[:n], w, h)

@@ -14,6 +14,45 @@ import numpy as np
 from yolact_tpu.config import COLORS, YolactConfig
 
 
+def display_lincomb(proto_data: np.ndarray, coeffs: np.ndarray,
+                    out_path: str = 'lincomb.png', det_idx: int = 0,
+                    mask_activation: str = 'sigmoid') -> np.ndarray:
+    """Visualise how prototype masks combine into one detection's mask
+    (reference ``output_utils.py:147-189``): a grid of the prototypes
+    weighted by |coefficient| order plus the running combination.
+
+    proto_data: [Hp, Wp, k]; coeffs: [n_dets, k].  Returns the grid image
+    and saves it to `out_path` (headless: file output instead of plt.show).
+    """
+    ph, pw, k = proto_data.shape
+    c = np.asarray(coeffs[det_idx])
+    order = np.argsort(-np.abs(c))
+    arr_w = int(np.ceil(np.sqrt(k)))
+    arr_h = int(np.ceil(k / arr_w))
+    grid = np.zeros((arr_h * ph, arr_w * 2 * pw), np.float32)
+    running = np.zeros((ph, pw), np.float32)
+    for i, idx in enumerate(order):
+        y, x = divmod(i, arr_w)
+        p = np.asarray(proto_data[:, :, idx])
+        denom = max(float(np.abs(p).max()), 1e-6)
+        grid[y * ph:(y + 1) * ph, x * pw:(x + 1) * pw] = p / denom * c[idx]
+        running += p * c[idx]
+        comb = 1 / (1 + np.exp(-running)) if mask_activation == 'sigmoid' \
+            else running
+        grid[y * ph:(y + 1) * ph,
+             (arr_w + x) * pw:(arr_w + x + 1) * pw] = (comb > 0.5)
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    plt.figure(figsize=(12, 6))
+    plt.imshow(grid)
+    plt.title('prototypes (left, |coeff| order) / running combination (right)')
+    plt.axis('off')
+    plt.savefig(out_path, dpi=120, bbox_inches='tight')
+    plt.close()
+    return grid
+
+
 def get_color(j: int, classes: Sequence[int], class_color: bool = False,
               bgr: bool = False):
     color_idx = (int(classes[j]) * 5 if class_color else j * 5) % len(COLORS)

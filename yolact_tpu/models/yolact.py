@@ -42,8 +42,10 @@ def _build_backbone(cfg: YolactConfig, dtype):
         layers = tuple(bb.args[0])
         dcn_layers = tuple(bb.args[1]) if len(bb.args) > 1 else (0, 0, 0, 0)
         dcn_interval = bb.args[2] if len(bb.args) > 2 else 1
+        atrous = tuple(bb.args[3]) if len(bb.args) > 3 else ()
         return ResNetBackbone(
             layers=layers, dcn_layers=dcn_layers, dcn_interval=dcn_interval,
+            atrous_layers=atrous,
             num_stages=max(num_stages, len(layers)),
             norm='gn' if bb.type == 'resnet_gn' else 'bn',
             dtype=dtype, name='backbone')

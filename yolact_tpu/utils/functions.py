@@ -10,6 +10,18 @@ from pathlib import Path
 from typing import Optional
 
 
+def init_console():
+    """ANSI console init (utils/functions.py:89-95) — a no-op outside
+    Windows, kept for API parity."""
+    import os
+    if os.name == 'nt':  # pragma: no cover
+        try:
+            import colorama
+            colorama.init()
+        except ImportError:
+            pass
+
+
 class MovingAverage:
     """Sliding-window mean that ignores non-finite entries
     (utils/functions.py:9-48)."""
