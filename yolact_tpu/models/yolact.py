@@ -158,3 +158,33 @@ def init_params(cfg: YolactConfig, seed: int = 0, img_size: Optional[int] = None
     size = img_size or cfg.max_size
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
     return model, model.init(jax.random.PRNGKey(seed), dummy, train=train)
+
+
+if __name__ == '__main__':
+    # Module smoke test (parity with the reference's yolact.py __main__,
+    # yolact.py:682-724): build the net, run a zero batch, print output
+    # shapes/sums, then loop for an fps estimate.
+    import sys
+    import time
+
+    from yolact_tpu.config import get_config
+
+    name = sys.argv[1] if len(sys.argv) > 1 else 'yolact_base'
+    cfg = get_config(name)
+    model, variables = init_params(cfg, train=True)
+    x = jnp.zeros((1, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    y, _ = model.apply(variables, x, train=True, mutable=['batch_stats'])
+
+    for k, a in y.items():
+        print(f'{k}: {tuple(a.shape)} sum={float(jnp.sum(a.astype(jnp.float32))):.4f}')
+
+    fwd = jax.jit(lambda v, xx: model.apply(v, xx))
+    jax.block_until_ready(fwd(variables, x))
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f'\nAvg fps: {1 / dt:.2f}\tAvg ms: {dt * 1000:.2f} '
+          f'(async-pipelined; see bench.py for the strict serial number)')
