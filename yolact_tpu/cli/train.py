@@ -178,7 +178,8 @@ def train(argv=None):
 
                 iteration += 1
                 cur_time = time.time()
-                time_avg.add(cur_time - last_time)
+                elapsed = cur_time - last_time
+                time_avg.add(elapsed)
                 last_time = cur_time
 
                 if iteration % 10 == 0:
@@ -201,7 +202,7 @@ def train(argv=None):
                                                for k in letters},
                                 lr=losses_np.get('lr'),
                                 epoch=epoch, iter=iteration,
-                                elapsed=cur_time - last_time)
+                                elapsed=elapsed)
 
                 if iteration % args.save_interval == 0 and iteration > 0:
                     if args.keep_latest:
