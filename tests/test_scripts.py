@@ -1,0 +1,138 @@
+"""End-to-end exercises of the scripts/ toolbox (SURVEY §2.7 #36/#37)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_eval import _write_tiny_coco
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(args, **kw):
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=REPO)
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=240, **kw)
+
+
+@pytest.fixture(scope='module')
+def bbox_dump(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('scripts')
+    _, json_path = _write_tiny_coco(tmp, n_images=4, size=96)
+    out = str(tmp / 'bboxes.npy')
+    r = run(['scripts/save_bboxes.py', json_path, out])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    return out
+
+
+def test_save_and_cluster(bbox_dump):
+    r = run(['scripts/cluster_bbox_sizes.py', bbox_dump, '3', '550'])
+    assert r.returncode == 0, r.stderr
+    assert 'scale_px' in r.stdout
+
+
+def test_bbox_recall(bbox_dump):
+    r = run(['scripts/bbox_recall.py', bbox_dump, 'yolact_base', '0.5'])
+    assert r.returncode == 0, r.stderr
+    assert 'recall@0.5' in r.stdout
+
+
+def test_augment_bbox(bbox_dump):
+    r = run(['scripts/augment_bbox.py', bbox_dump, '1'])
+    assert r.returncode == 0, r.stderr
+    assert 'augmented' in r.stdout
+
+
+def test_make_grid(tmp_path):
+    out = str(tmp_path / 'grid.npy')
+    r = run(['scripts/make_grid.py', '12', '12', out])
+    assert r.returncode == 0, r.stderr
+    g = np.load(out)
+    assert g.shape[1:] == (12, 12)
+
+
+def test_plot_loss(tmp_path):
+    from yolact_tpu.utils.logger import Log
+    log = Log('scripttest', str(tmp_path))
+    for i in range(5):
+        log.log('train', loss={'B': 1.0 / (i + 1), 'C': 2.0}, lr=1e-3,
+                epoch=0, iter=i * 10)
+    out = str(tmp_path / 'plot.png')
+    r = run(['scripts/plot_loss.py', str(tmp_path / 'scripttest.log'), out])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+
+
+def test_parse_eval(tmp_path):
+    from yolact_tpu.eval.evaluator import print_maps
+    import io
+    from contextlib import redirect_stdout
+    from collections import OrderedDict
+    maps = {'box': OrderedDict([('all', 31.2), (50, 50.1), (55, 48.0)]),
+            'mask': OrderedDict([('all', 29.9), (50, 47.5), (55, 45.0)])}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        print_maps(maps)
+    path = tmp_path / 'eval.txt'
+    path.write_text(buf.getvalue())
+    r = run(['scripts/parse_eval.py', str(path)])
+    assert r.returncode == 0, r.stderr
+    assert 'box,' in r.stdout and 'mask,' in r.stdout
+
+
+def test_compute_masks(tmp_path, rng):
+    np.save(tmp_path / 'proto.npy', rng.rand(16, 16, 4).astype(np.float32))
+    np.save(tmp_path / 'gt.npy', (rng.rand(2, 32, 32) > 0.5).astype(np.float32))
+    r = run(['scripts/compute_masks.py', str(tmp_path / 'proto.npy'),
+             str(tmp_path / 'gt.npy'), str(tmp_path / 'vis')])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(str(tmp_path / 'vis_protos.png'))
+
+
+def test_unpack_statedict(tmp_path):
+    from yolact_tpu.train.checkpoint import save_weights_only
+    save_weights_only({'params': {'a': np.ones((2, 2), np.float32)}},
+                      str(tmp_path / 'w_0_1.ckpt'))
+    r = run(['scripts/unpack_statedict.py', str(tmp_path / 'w_0_1.ckpt'),
+             str(tmp_path / 'unpacked')])
+    assert r.returncode == 0, r.stderr
+    assert os.listdir(str(tmp_path / 'unpacked'))
+
+
+def test_mix_sets(tmp_path):
+    (tmp_path / 'a').mkdir()
+    _, j1 = _write_tiny_coco(tmp_path / 'a', n_images=2, size=64)
+    out = str(tmp_path / 'merged.json')
+    r = run(['data/scripts/mix_sets.py', out, j1, j1])
+    assert r.returncode == 0, r.stderr
+    d = json.loads(open(out).read())
+    assert len(d['images']) == 2  # dedup by image id
+    assert len(d['annotations']) == 8  # anns concatenated with new ids
+
+
+def test_convert_darknet_binary(tmp_path):
+    # synthesize a .weights blob with the right element count
+    from scripts.convert_darknet import conv_names
+    n = 5
+    total = 0
+    for _, out_ch, in_ch, k in conv_names():
+        total += 4 * out_ch + out_ch * in_ch * k * k
+    blob = np.concatenate([np.zeros(5, np.int32).view(np.float32)
+                           if False else np.zeros(5, np.float32),
+                           np.random.rand(total).astype(np.float32)])
+    path = tmp_path / 'darknet53.weights'
+    with open(path, 'wb') as f:
+        np.zeros(5, np.int32).tofile(f)
+        np.random.rand(total).astype(np.float32).tofile(f)
+    out = str(tmp_path / 'darknet53.pth')
+    r = run(['scripts/convert_darknet.py', str(path), out])
+    assert r.returncode == 0, r.stderr
+    import torch
+    sd = torch.load(out, weights_only=False)
+    assert '_preconv.0.weight' in sd

@@ -22,7 +22,6 @@ from typing import Optional
 import numpy as np
 
 from yolact_tpu.config import YolactConfig
-from yolact_tpu.detect.postprocess import finish_masks
 from yolact_tpu.eval.display import draw_detections
 from yolact_tpu.eval.evaluate import sanitize_boxes_np
 from yolact_tpu.infer import Pipeline
