@@ -48,12 +48,18 @@ def parse_args(argv=None):
                    help='fixed ground-truth padding per image (TPU static '
                         'shapes)')
     p.add_argument('--compute_dtype', default='float32', type=str)
+    p.add_argument('--device_augment', dest='device_augment',
+                   action='store_true',
+                   help='run SSD augmentation on-device inside the train '
+                        'step (data/device_augment.py); the host loader '
+                        'only decodes+resizes — use when host CPUs cannot '
+                        'feed the chip')
     p.add_argument('--distributed', dest='distributed', action='store_true',
                    help='multi-host: call jax.distributed.initialize() so '
                         'the mesh spans all TPU pod hosts (replaces the '
                         'reference, which has no multi-node support)')
     p.set_defaults(keep_latest=False, log=True, log_gpu=False, interrupt=True,
-                   autoscale=True, distributed=False)
+                   autoscale=True, distributed=False, device_augment=False)
     return p.parse_args(argv)
 
 
@@ -95,12 +101,19 @@ def train(argv=None):
     if args.batch_size // n_dev < 6:
         print('Per-chip batch size is less than 6, auto-enabling freeze_bn.')
         overrides['freeze_bn'] = True
+    if args.device_augment:
+        overrides['use_device_augment'] = True
     if overrides:
         cfg = cfg.copy(**overrides)
 
+    if cfg.use_device_augment:
+        from yolact_tpu.data.augmentations import RawResize
+        transform = RawResize(cfg)
+    else:
+        transform = SSDAugmentation(cfg)
     dataset = COCODetection(
         cfg.dataset.train_images, cfg.dataset.train_info,
-        transform=SSDAugmentation(cfg), dataset_cfg=cfg.dataset)
+        transform=transform, dataset_cfg=cfg.dataset)
     loader = BatchLoader(dataset, args.batch_size, max_gt=args.max_gt,
                          num_workers=args.num_workers)
 

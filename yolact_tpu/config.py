@@ -400,6 +400,9 @@ class YolactConfig:
     # score before the per-class NMS sorts (0 = disabled = exact reference
     # semantics).  Exact whenever <= N priors pass nms_conf_thresh.
     nms_candidates: int = 1024
+    # Run SSD augmentation on device inside the jitted train step
+    # (data/device_augment.py) — needed when the host cannot feed the chip.
+    use_device_augment: bool = False
 
     def copy(self, **kw) -> 'YolactConfig':
         for k in ('mask_proto_net', 'extra_head_net', 'maskiou_net',

@@ -322,3 +322,24 @@ class BaseTransform:
             self.cfg, image, masks, boxes, labels, resize_gt=False)
         image = backbone_transform(self.cfg, image, self.mean, self.std)
         return image, masks, boxes, labels
+
+
+class RawResize:
+    """Minimal loader transform for device-side augmentation: resize image
+    (BGR float [0,255]) + masks to S x S and keep boxes relative — all the
+    heavy augmentation then happens on device (data/device_augment.py)."""
+
+    def __init__(self, cfg: YolactConfig):
+        self.cfg = cfg
+
+    def __call__(self, image, masks=None, boxes=None, labels=None):
+        import cv2
+        S = self.cfg.max_size
+        image = cv2.resize(image.astype(np.float32), (S, S))
+        if masks is not None and len(masks):
+            m = cv2.resize(masks.transpose(1, 2, 0), (S, S))
+            masks = m[None] if m.ndim == 2 else m.transpose(2, 0, 1)
+        if labels is not None and boxes is not None:
+            labels = dict(labels)
+            labels['num_crowds'] = int((labels['labels'] < 0).sum())
+        return image, masks, boxes, labels

@@ -92,6 +92,11 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     maskiou_model = MaskIoUHead(cfg) if cfg.use_maskiou else None
     bn_train = not cfg.freeze_bn  # frozen BN never touches batch_stats
 
+    if cfg.use_device_augment:
+        from yolact_tpu.data.device_augment import device_augment
+        rng, aug_rng = jax.random.split(rng)
+        batch = device_augment(cfg, batch, aug_rng)
+
     def loss_fn(params):
         out = model.apply(
             {'params': params['model'], 'batch_stats': state.batch_stats},
