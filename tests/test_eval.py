@@ -181,3 +181,34 @@ def test_evaluate_batched_matches_single(tiny_eval_setup):
     m2 = evaluate_dataset(cfg, variables, dataset, quiet=True,
                           eval_batch_size=2)
     assert m1 == m2
+
+
+def test_evaluate_benchmark_mode(tiny_eval_setup, capsys):
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    out = evaluate_dataset(cfg, variables, dataset, benchmark=True, quiet=True)
+    assert out is None
+    captured = capsys.readouterr().out
+    assert 'fps' in captured and 'ms / frame' in captured
+
+
+def test_pad_batch_truncation(rng):
+    from yolact_tpu.data.coco import pad_batch
+    S, n = 16, 7
+    imgs = [rng.rand(S, S, 3).astype(np.float32)]
+    t = np.concatenate([rng.rand(n, 4), np.arange(n)[:, None]], 1)
+    t[-2:, 4] = -1  # two crowds at the tail
+    masks = [rng.rand(n, S, S).astype(np.float32)]
+    batch = pad_batch(imgs, [t], masks, [2], max_gt=6)
+    # crowds dropped first: 5 real + 1 crowd kept
+    assert batch['num_gts'][0] == 6
+    assert batch['num_crowds'][0] == 1
+    assert (batch['gt_labels'][0, :5] >= 0).all()
+    assert batch['gt_labels'][0, 5] == -1
+
+    batch2 = pad_batch(imgs, [t], masks, [2], max_gt=10)
+    assert batch2['num_gts'][0] == 7
+    assert (batch2['gt_labels'][0, 7:] == -2).all()
