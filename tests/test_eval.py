@@ -212,3 +212,15 @@ def test_pad_batch_truncation(rng):
     batch2 = pad_batch(imgs, [t], masks, [2], max_gt=10)
     assert batch2['num_gts'][0] == 7
     assert (batch2['gt_labels'][0, 7:] == -2).all()
+
+
+def test_evaluate_display_mode(tiny_eval_setup, tmp_path):
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    dd = str(tmp_path / 'displays')
+    evaluate_dataset(cfg, variables, dataset, quiet=True, display=True,
+                     display_dir=dd, max_images=2)
+    assert len(os.listdir(dd)) == 2

@@ -70,6 +70,9 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                      benchmark: bool = False,
                      mask_proto_debug: bool = False,
                      ap_data_file: Optional[str] = None,
+                     display: bool = False,
+                     display_dir: str = 'displays/',
+                     top_k: int = 15,
                      quiet: bool = False) -> Optional[Dict]:
     """Returns the all_maps dict (or None for json/benchmark modes)."""
     pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
@@ -171,6 +174,21 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                     mask_scores = mask_scores[keep]
                     boxes_abs, masks_full = boxes_abs[keep], masks_full[keep]
                     n = int(keep.sum())
+
+                if display:
+                    # headless display mode: render detections over the
+                    # original image to display_dir (the reference pops a
+                    # matplotlib window, eval.py:945-961)
+                    import os
+                    import cv2
+                    from yolact_tpu.eval.display import draw_detections
+                    os.makedirs(display_dir, exist_ok=True)
+                    raw = dataset.pull_image(image_idx)
+                    drawn = draw_detections(
+                        cfg, raw, classes, box_scores, boxes_abs, masks_full,
+                        top_k=top_k, score_threshold=max(score_threshold, 0.15))
+                    cv2.imwrite(os.path.join(
+                        display_dir, f'{dataset.ids[image_idx]}.png'), drawn)
 
                 if output_coco_json:
                     with timer.env('JSON Output'):
