@@ -224,3 +224,26 @@ def test_evaluate_display_mode(tiny_eval_setup, tmp_path):
     evaluate_dataset(cfg, variables, dataset, quiet=True, display=True,
                      display_dir=dd, max_images=2)
     assert len(os.listdir(dd)) == 2
+
+
+def test_batch_loader_iterates(tiny_eval_setup):
+    from yolact_tpu.data.augmentations import SSDAugmentation
+    from yolact_tpu.data.coco import COCODetection
+    from yolact_tpu.data.loader import BatchLoader
+    cfg, img_dir, json_path = tiny_eval_setup
+    ds = COCODetection(img_dir, json_path, transform=SSDAugmentation(cfg),
+                       dataset_cfg=cfg.dataset)
+    loader = BatchLoader(ds, batch_size=2, max_gt=8, num_workers=1,
+                         prefetch=2)
+    try:
+        seen = 0
+        for batch in loader:
+            assert batch['image'].shape == (2, cfg.max_size, cfg.max_size, 3)
+            assert batch['gt_boxes'].shape == (2, 8, 4)
+            assert batch['gt_masks'].dtype == np.uint8
+            seen += 1
+            if seen >= 3:
+                break
+    finally:
+        loader.stop()
+    assert seen == 3
