@@ -247,3 +247,20 @@ def test_batch_loader_iterates(tiny_eval_setup):
     finally:
         loader.stop()
     assert seen == 3
+
+
+def test_device_mask_iou_matches_host(tiny_eval_setup):
+    """The device mask-IoU path must reproduce the host path's mAP."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    m_host = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                              device_mask_iou=False)
+    m_dev = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                             device_mask_iou=True)
+    for t in ('box', 'mask'):
+        for k in m_host[t]:
+            assert abs(m_host[t][k] - m_dev[t][k]) < 0.75, \
+                (t, k, m_host[t][k], m_dev[t][k])

@@ -73,6 +73,7 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                      display: bool = False,
                      display_dir: str = 'displays/',
                      top_k: int = 15,
+                     device_mask_iou: Optional[bool] = None,
                      quiet: bool = False) -> Optional[Dict]:
     """Returns the all_maps dict (or None for json/benchmark modes)."""
     pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
@@ -97,6 +98,20 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
     compute_map = not output_coco_json and not benchmark
     ap_data = make_ap_data(len(cfg.dataset.class_names))
     detections = DetectionsWriter(cfg)
+
+    # device-side mask upsample + mask IoU (eval/device_metrics.py):
+    # replaces ~0.5 s/image of host cv2/numpy work with one jitted call;
+    # exact same numerics (torch-style bilinear upsample + 0.5 binarise).
+    if device_mask_iou is None:
+        import jax.extend.backend
+        device_mask_iou = (jax.extend.backend.get_backend().platform
+                           == 'tpu')
+    use_dev_miou = (device_mask_iou and compute_map and not display)
+    if use_dev_miou:
+        from yolact_tpu.eval.device_metrics import (dataset_canvas_size,
+                                                    gt_to_canvas_packed,
+                                                    mask_iou_device_packed)
+        canvas = dataset_canvas_size(dataset)
 
     item_q: "queue.Queue" = queue.Queue(maxsize=2 * eval_batch_size + 2)
     stop = threading.Event()
@@ -161,18 +176,37 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                 else:
                     mask_scores = box_scores
                 boxes_rel = np.asarray(out.boxes[bi])[:n]
-                proto_masks = np.asarray(out.masks[bi])[:n]
 
+                miou_full = crowd_full = None
+                masks_full = None
                 with timer.env('Postprocess'):
                     boxes_abs = sanitize_boxes_np(boxes_rel, w, h)
-                    masks_full = finish_masks(proto_masks, w, h)
+                    if use_dev_miou and gt is not None:
+                        import jax.numpy as jnp
+                        gt_packed = gt_to_canvas_packed(
+                            np.asarray(gt_masks), canvas)
+                        miou_d, crowd_d, pa_d = mask_iou_device_packed(
+                            out.masks[bi], jnp.asarray(gt_packed),
+                            np.float32(h), np.float32(w), canvas)
+                        miou_full = np.asarray(miou_d)[:n]
+                        crowd_full = np.asarray(crowd_d)[:n]
+                        areas = np.asarray(pa_d)[:n]
+                    else:
+                        proto_masks = np.asarray(out.masks[bi])[:n]
+                        masks_full = finish_masks(proto_masks, w, h)
+                        areas = masks_full.reshape(n, -1).sum(axis=1) \
+                            if n > 0 else np.zeros(0)
 
                 if cfg.discard_mask_area > 0 and n > 0:
-                    areas = masks_full.reshape(n, -1).sum(axis=1)
                     keep = areas > cfg.discard_mask_area
                     classes, box_scores = classes[keep], box_scores[keep]
                     mask_scores = mask_scores[keep]
-                    boxes_abs, masks_full = boxes_abs[keep], masks_full[keep]
+                    boxes_abs = boxes_abs[keep]
+                    if masks_full is not None:
+                        masks_full = masks_full[keep]
+                    if miou_full is not None:
+                        miou_full = miou_full[keep]
+                        crowd_full = crowd_full[keep]
                     n = int(keep.sum())
 
                 if display:
@@ -211,7 +245,10 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                         prep_metrics(ap_data, classes, box_scores,
                                      mask_scores, boxes_abs, masks_full,
                                      gt_boxes, gt[:, 4].astype(int),
-                                     np.asarray(gt_masks), num_crowd)
+                                     None if miou_full is not None
+                                     else np.asarray(gt_masks), num_crowd,
+                                     mask_iou_full=miou_full,
+                                     crowd_mask_iou_full=crowd_full)
 
                 if not quiet:
                     fps = 1 / frame_times.get_avg() if done > 1 else 0

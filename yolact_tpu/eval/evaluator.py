@@ -101,39 +101,57 @@ def _np_mask_iou(a: np.ndarray, b: np.ndarray, iscrowd=False) -> np.ndarray:
 
 def prep_metrics(ap_data, classes: Sequence[int],
                  box_scores: Sequence[float], mask_scores: Sequence[float],
-                 boxes: np.ndarray, masks: np.ndarray,
+                 boxes: np.ndarray, masks: Optional[np.ndarray],
                  gt_boxes: np.ndarray, gt_classes: Sequence[int],
-                 gt_masks: np.ndarray, num_crowd: int) -> None:
+                 gt_masks: Optional[np.ndarray], num_crowd: int,
+                 mask_iou_full: Optional[np.ndarray] = None,
+                 crowd_mask_iou_full: Optional[np.ndarray] = None) -> None:
     """Greedy AP matching for one image (eval.py:386-510).
 
     All coordinates absolute pixels; masks/gt_masks are [n, h, w] (bool or
     float); crowd annotations are the LAST `num_crowd` gt entries.
+
+    When `mask_iou_full` ([num_pred, num_gt_total]) is given (computed on
+    device — eval/device_metrics.py), masks/gt_masks may be None.
     """
     classes = [int(c) for c in classes]
     num_pred = len(classes)
 
     gt_boxes = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
-    gt_masks = np.asarray(gt_masks, np.float32).reshape(len(gt_classes), -1)
     gt_classes = [int(c) for c in gt_classes]
+    n_gt_total = len(gt_classes)
     if num_crowd > 0:
         crowd_boxes, gt_boxes = gt_boxes[-num_crowd:], gt_boxes[:-num_crowd]
-        crowd_masks, gt_masks = gt_masks[-num_crowd:], gt_masks[:-num_crowd]
         crowd_classes, gt_classes = gt_classes[-num_crowd:], gt_classes[:-num_crowd]
     else:
-        crowd_boxes = crowd_masks = None
+        crowd_boxes = None
         crowd_classes = []
 
-    hw = int(np.prod(np.asarray(masks).shape[1:])) if num_pred else 1
-    masks_f = np.asarray(masks, np.float32).reshape(num_pred, hw)
     boxes_f = np.asarray(boxes, np.float32).reshape(num_pred, 4)
 
-    mask_iou_cache = _np_mask_iou(masks_f, gt_masks)
-    bbox_iou_cache = _np_box_iou(boxes_f, gt_boxes)
-    if num_crowd > 0:
-        crowd_mask_iou = _np_mask_iou(masks_f, crowd_masks, iscrowd=True)
-        crowd_bbox_iou = _np_box_iou(boxes_f, crowd_boxes, iscrowd=True)
+    if mask_iou_full is not None:
+        miou = np.asarray(mask_iou_full)[:num_pred, :n_gt_total]
+        cmiou = np.asarray(crowd_mask_iou_full)[:num_pred, :n_gt_total] \
+            if crowd_mask_iou_full is not None else miou
+        if num_crowd > 0:
+            mask_iou_cache = miou[:, :-num_crowd]
+            crowd_mask_iou = cmiou[:, -num_crowd:]
+        else:
+            mask_iou_cache = miou
+            crowd_mask_iou = None
     else:
-        crowd_mask_iou = crowd_bbox_iou = None
+        gt_masks = np.asarray(gt_masks, np.float32).reshape(n_gt_total, -1)
+        if num_crowd > 0:
+            crowd_masks, gt_masks = gt_masks[-num_crowd:], gt_masks[:-num_crowd]
+        hw = int(np.prod(np.asarray(masks).shape[1:])) if num_pred else 1
+        masks_f = np.asarray(masks, np.float32).reshape(num_pred, hw)
+        mask_iou_cache = _np_mask_iou(masks_f, gt_masks)
+        crowd_mask_iou = _np_mask_iou(masks_f, crowd_masks, iscrowd=True) \
+            if num_crowd > 0 else None
+
+    bbox_iou_cache = _np_box_iou(boxes_f, gt_boxes)
+    crowd_bbox_iou = _np_box_iou(boxes_f, crowd_boxes, iscrowd=True) \
+        if num_crowd > 0 else None
 
     box_scores = [float(s) for s in box_scores]
     mask_scores = [float(s) for s in mask_scores]
