@@ -231,3 +231,37 @@ def run_reference_loss2(ref, sc, flags):
     losses = criterion(None, predictions, [torch.from_numpy(target)],
                        [torch.from_numpy(sc['gt_masks'])], [sc['crowds']])
     return {k: float(v) for k, v in losses.items()}
+
+
+@pytest.mark.parametrize('flags', [
+    dict(mask_proto_double_loss=True),
+    dict(mask_proto_reweight_mask_loss=True),
+    dict(mask_proto_remove_empty_masks=True),
+    dict(mask_proto_normalize_mask_loss_by_sqrt_area=True,
+         mask_proto_normalize_emulate_roi_pooling=False),
+])
+def test_mask_loss_flag_variants_parity(ref, flags):
+    """Rare mask-loss flags vs the reference."""
+    rng = np.random.RandomState(21)
+    sc = random_scene(rng, crowds=0)
+    want = run_reference_loss2(ref, sc, flags)
+
+    import jax
+    from yolact_tpu.train.loss import multibox_loss
+    cfg = tiny_cfg().copy(**flags)
+    G = sc['gt_boxes'].shape[0]
+    predictions = {
+        'loc': sc['loc'], 'conf': sc['conf'], 'mask': sc['coeffs'],
+        'priors': sc['priors'], 'proto': sc['proto'],
+        'segm': np.transpose(sc['segm'], (0, 2, 3, 1)),
+    }
+    batch = dict(
+        gt_boxes=sc['gt_boxes'][None],
+        gt_labels=sc['gt_labels'][None].astype(np.int32),
+        gt_masks=sc['gt_masks'][None],
+        num_gts=np.array([G], np.int32),
+        num_crowds=np.array([0], np.int32))
+    got, _ = multibox_loss(cfg, jax.random.PRNGKey(0), predictions, batch)
+    np.testing.assert_allclose(
+        float(got['M']), want['M'], rtol=5e-3,
+        err_msg=f'{flags}: ref={want["M"]} ours={float(got["M"])}')

@@ -272,6 +272,21 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
         if cfg.mask_proto_binarize_downsampled_gt:
             dm = (dm > 0.5).astype(proto.dtype)
 
+        if cfg.mask_proto_remove_empty_masks:
+            # drop positives whose gt downsampled away (:525-531)
+            nonempty = dm.sum(axis=(1, 2)) > 0.0001   # [G]
+            pos = pos & nonempty[idx_t]
+
+        if cfg.mask_proto_reweight_mask_loss:
+            # per-pixel fg/bg balance weights (:533-544)
+            bin_gt = dm if cfg.mask_proto_binarize_downsampled_gt \
+                else (dm > 0.5).astype(proto.dtype)
+            fg_norm = bin_gt / (bin_gt.sum(axis=(1, 2), keepdims=True) + 1e-4)
+            bg_norm = (1 - bin_gt) / ((1 - bin_gt).sum(axis=(1, 2),
+                                                       keepdims=True) + 1e-4)
+            reweight = (fg_norm * cfg.mask_proto_reweight_coeff + bg_norm) \
+                * (Hp * Wp)                            # [G, Hp, Wp]
+
         # --- fixed-slot random sampling of positives -------------------
         # random priority per prior; positives sorted first. Top-M slots
         # reproduce "randperm subset" when num_pos > M.
@@ -297,6 +312,16 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
         if cfg.mask_proto_mask_activation == 'sigmoid':
             pred = jax.nn.sigmoid(pred)
 
+        loss_double = 0.0
+        if cfg.mask_proto_double_loss:
+            # pre-crop loss added on top (:594-600)
+            if cfg.mask_proto_mask_activation == 'sigmoid':
+                dbl = _torch_bce(jnp.clip(pred, 0.0, 1.0), mask_t)
+            else:
+                dbl = smooth_l1(pred, mask_t)
+            loss_double = cfg.mask_proto_double_loss_alpha * \
+                (dbl.sum(axis=(0, 1)) * slot_valid).sum()
+
         if cfg.mask_proto_crop:
             pred = crop(pred, sel_box)
 
@@ -308,6 +333,10 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
         if cfg.mask_proto_normalize_mask_loss_by_sqrt_area:
             gt_area = jnp.sum(mask_t, axis=(0, 1), keepdims=True)
             pre_loss = pre_loss / (jnp.sqrt(gt_area) + 0.0001)
+
+        if cfg.mask_proto_reweight_mask_loss:
+            pre_loss = pre_loss * jnp.transpose(reweight[sel_idx_t],
+                                                (1, 2, 0))
 
         if cfg.mask_proto_normalize_emulate_roi_pooling:
             weight = Hp * Wp if cfg.mask_proto_crop else 1
@@ -326,7 +355,7 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
         num_sel = slot_valid.sum()
         scale = jnp.where(num_sel > 0, old_num_pos / jnp.maximum(num_sel, 1), 1.0)
         scale = jnp.where(old_num_pos > num_sel, scale, 1.0)
-        loss_m = per_slot.sum() * scale
+        loss_m = per_slot.sum() * scale + loss_double
 
         out = dict(loss_m=loss_m)
         if cfg.use_maskiou:
@@ -339,6 +368,11 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
             sel_ok = slot_valid
             if cfg.discard_mask_area > 0:
                 sel_ok = sel_ok & (a2 > cfg.discard_mask_area)
+            if cfg.maskious_to_train > 0:
+                # random subsample cap (multibox_loss.py:661-667)
+                mpri = jnp.where(sel_ok, jax.random.uniform(rng_i, (M,)), -1.0)
+                kth = jnp.sort(mpri)[-min(cfg.maskious_to_train, M)]
+                sel_ok = sel_ok & (mpri >= kth)
             out.update(net_input=jnp.transpose(pred, (2, 0, 1))[..., None],
                        iou_t=iou_t,
                        label_t=jnp.clip(label_t, 0, None).astype(jnp.int32),
