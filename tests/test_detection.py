@@ -144,3 +144,44 @@ def test_candidate_pruning_exact_when_few_candidates(rng):
                                np.asarray(d1.boxes[0])[v], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(d0.classes[0])[v],
                                   np.asarray(d1.classes[0])[v])
+
+
+def test_cc_fast_nms_matches_emulation(rng):
+    """Class-collapsed fast NMS vs a numpy emulation (detection.py:111-135)."""
+    cfg = C.get_config('yolact_base').copy(num_classes=6, nms_candidates=0)
+    P, Md = 300, 8
+    priors = np.concatenate([rng.rand(P, 2), rng.rand(P, 2) * 0.2 + 0.05],
+                            axis=1).astype(np.float32)
+    loc = (rng.randn(1, P, 4) * 0.5).astype(np.float32)
+    conf = (rng.randn(1, P, 6) * 2).astype(np.float32)
+    coeffs = rng.randn(1, P, Md).astype(np.float32)
+    proto = rng.rand(1, 16, 16, Md).astype(np.float32)
+    dets = detect(cfg, dict(loc=jnp.asarray(loc), conf=jnp.asarray(conf),
+                            mask=jnp.asarray(coeffs),
+                            priors=jnp.asarray(priors),
+                            proto=jnp.asarray(proto)),
+                  use_cross_class_nms=True)
+
+    # emulation
+    e = np.exp(conf[0] - conf[0].max(axis=-1, keepdims=True))
+    sm = e / e.sum(axis=-1, keepdims=True)
+    scores_np = sm[:, 1:].T
+    boxes_np = np.asarray(decode(jnp.asarray(loc[0]), jnp.asarray(priors)))
+    cand = scores_np.max(axis=0) > cfg.nms_conf_thresh
+    best = np.where(cand, scores_np.max(axis=0), -1)
+    order = np.argsort(-best, kind='stable')[:cfg.nms_top_k]
+    b = boxes_np[order]
+    iou = np.triu(np_iou(b, b), k=1)
+    iou_max = iou.max(axis=0)
+    kept = [(float(best[order[d]]), int(scores_np[:, order[d]].argmax()))
+            for d in range(len(order))
+            if iou_max[d] <= cfg.nms_thresh and best[order[d]] > 0]
+    kept.sort(key=lambda t: -t[0])
+    kept = kept[:cfg.max_num_detections]
+
+    v = np.asarray(dets.valid[0])
+    got_scores = np.asarray(dets.scores[0])[v]
+    got_classes = np.asarray(dets.classes[0])[v]
+    assert len(kept) == v.sum()
+    np.testing.assert_allclose(got_scores, [s for s, c in kept], atol=1e-5)
+    np.testing.assert_array_equal(got_classes, [c for s, c in kept])
