@@ -183,6 +183,22 @@ def test_evaluate_batched_matches_single(tiny_eval_setup):
     assert m1 == m2
 
 
+def test_evaluate_traditional_nms_end_to_end(tiny_eval_setup):
+    """--fast_nms=False runs the greedy host-NMS path through the full
+    evaluator (detection.py:182-228 semantics) and yields finite maps."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    maps = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                            fast_nms=False)
+    assert set(maps.keys()) == {'box', 'mask'}
+    assert np.isfinite(maps['box']['all'])
+    assert np.isfinite(maps['mask']['all'])
+
+
 def test_evaluate_benchmark_mode(tiny_eval_setup, capsys):
     from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
     from yolact_tpu.infer import random_variables

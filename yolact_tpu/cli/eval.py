@@ -207,7 +207,7 @@ def main(argv=None):
         output_web_json=args.output_web_json, web_det_path=args.web_det_path,
         benchmark=args.benchmark, mask_proto_debug=args.mask_proto_debug,
         ap_data_file=args.ap_data_file, display=args.display,
-        top_k=args.top_k, quiet=args.no_bar)
+        top_k=args.top_k, no_bar=args.no_bar)
 
 
 if __name__ == '__main__':

@@ -46,6 +46,31 @@ def _greedy_nms(dets: np.ndarray, thresh: float) -> np.ndarray:
     return np.array(sorted(keep), np.int64)
 
 
+def host_assemble_masks(proto: np.ndarray, coeffs: np.ndarray,
+                        boxes: np.ndarray, padding: int = 1) -> np.ndarray:
+    """Host mask assembly for the traditional-NMS path: sigmoid(proto @
+    coeffs.T) cropped by boxes (output_utils.py:69-74), numpy."""
+    hp, wp, _ = proto.shape
+    n = coeffs.shape[0]
+    m = proto.reshape(-1, proto.shape[-1]) @ coeffs.T          # [hp*wp, n]
+    m = 1.0 / (1.0 + np.exp(-m))
+    m = m.reshape(hp, wp, n)
+    if n:
+        x1 = np.clip(np.minimum(boxes[:, 0], boxes[:, 2]) * wp - padding,
+                     0, None)
+        x2 = np.clip(np.maximum(boxes[:, 0], boxes[:, 2]) * wp + padding,
+                     None, wp)
+        y1 = np.clip(np.minimum(boxes[:, 1], boxes[:, 3]) * hp - padding,
+                     0, None)
+        y2 = np.clip(np.maximum(boxes[:, 1], boxes[:, 3]) * hp + padding,
+                     None, hp)
+        cols = np.arange(wp)[None, :, None]
+        rows = np.arange(hp)[:, None, None]
+        keep = ((cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2))
+        m = m * keep
+    return np.transpose(m, (2, 0, 1))                          # [n, hp, wp]
+
+
 def traditional_nms(cfg: YolactConfig, boxes: np.ndarray, coeffs: np.ndarray,
                     scores: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

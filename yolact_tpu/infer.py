@@ -88,6 +88,22 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
                            dets.valid, mask_scores)
 
 
+def forward_raw(cfg: YolactConfig, model: Yolact, variables: Dict,
+                images: jnp.ndarray, preprocess: bool = True):
+    """Device program for the host (traditional) NMS path: returns
+    (decoded boxes [B,P,4], softmaxed fg scores [B,C-1,P], coeffs, proto)."""
+    from yolact_tpu.ops.boxes import decode
+    x = preprocess_device(cfg, images) if preprocess else images
+    preds = model.apply(variables, x, train=False)
+    conf = jax.nn.softmax(preds['conf'].astype(jnp.float32), axis=-1)
+    scores = jnp.swapaxes(conf[..., 1:], 1, 2)
+    boxes = decode(preds['loc'].astype(jnp.float32),
+                   preds['priors'].astype(jnp.float32)[None],
+                   cfg.use_yolo_regressors)
+    return boxes, scores, preds['mask'].astype(jnp.float32), \
+        preds['proto'].astype(jnp.float32)
+
+
 class Pipeline:
     """Convenience wrapper owning a jitted program per batch size."""
 
