@@ -58,6 +58,11 @@ def parse_args(argv=None):
                    help='multi-host: call jax.distributed.initialize() so '
                         'the mesh spans all TPU pod hosts (replaces the '
                         'reference, which has no multi-node support)')
+    p.add_argument('--spatial_split', default=1, type=int,
+                   help='shard the image-height dim across this many '
+                        'devices (2-D data x space mesh; XLA inserts conv '
+                        'halo exchanges).  For high-resolution configs '
+                        'whose activations exceed one chip\'s HBM')
     p.set_defaults(keep_latest=False, log=True, log_gpu=False, interrupt=True,
                    autoscale=True, distributed=False, device_augment=False)
     return p.parse_args(argv)
@@ -140,14 +145,24 @@ def train(argv=None):
     state = state.replace(step=np.int32(start_iter))
 
     # 1-D data mesh over the largest device count dividing the batch
+    # (2-D data x space when --spatial_split > 1)
     devices = jax.devices()
-    n_use = len(devices)
-    while args.batch_size % n_use:
-        n_use -= 1
+    n_data = len(devices) // args.spatial_split
+    while args.batch_size % n_data:
+        n_data -= 1
+    n_use = n_data * args.spatial_split
     if n_use < len(devices):
-        print(f'batch_size {args.batch_size} not divisible by '
-              f'{len(devices)} devices; using {n_use}.')
-    mesh = make_mesh(devices[:n_use])
+        print(f'batch_size {args.batch_size} / spatial_split '
+              f'{args.spatial_split} leaves {n_use} of '
+              f'{len(devices)} devices in the mesh.')
+    if args.spatial_split > 1:
+        from yolact_tpu.parallel.mesh import (make_mesh_2d,
+                                              shard_batch_spatial)
+        mesh = make_mesh_2d(devices[:n_use], data=n_data,
+                            space=args.spatial_split)
+        shard_batch = shard_batch_spatial  # noqa: F811 (same signature)
+    else:
+        mesh = make_mesh(devices[:n_use])
     state = jax.device_put(state, replicate(mesh))
     step_fn = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r),
                       donate_argnums=(0,))

@@ -11,8 +11,14 @@ reference's ``--batch_alloc`` heterogeneous-GPU knob, which has no TPU
 equivalent).
 
 YOLACT is ~50M params — far below the HBM of one chip — so data parallelism
-is the whole story (SURVEY.md §2.8: no TP/PP/SP/EP in the reference); the
-mesh abstraction here still lets a larger variant add axes later.
+is the default (SURVEY.md §2.8: no TP/PP/SP/EP in the reference).  On top of
+it this module offers **spatial partitioning** (a second ``'space'`` mesh
+axis sharding the image-height dim): XLA SPMD inserts the conv halo
+exchanges over ICI automatically, so high-resolution variants (im700 and
+beyond) can train with activations split across chips — a capability with
+no reference equivalent.  Use ``make_mesh_2d`` + ``shard_batch_spatial``;
+everything downstream of the jit is unchanged (SPMD is
+semantics-preserving).
 """
 
 from __future__ import annotations
@@ -43,3 +49,39 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = 'data') -> Any:
     """Place a host batch pytree onto the mesh, batch-dim sharded."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
+                 data: Optional[int] = None,
+                 space: int = 1) -> Mesh:
+    """2-D ``('data', 'space')`` mesh: batch sharded over 'data', image
+    height sharded over 'space' (conv halos handled by XLA SPMD)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // space
+    if data * space != len(devices):
+        raise ValueError(f'{data}x{space} mesh != {len(devices)} devices')
+    return Mesh(np.array(devices).reshape(data, space), ('data', 'space'))
+
+
+def shard_batch_spatial(mesh: Mesh, batch: Any) -> Any:
+    """Place a train/eval batch on a 2-D mesh: every array's dim 0 (batch)
+    over 'data'; the height dim of images [B,H,W,C] and per-object masks
+    [B,G,H,W] over 'space'.  Height must divide by the 'space' axis size."""
+    space = mesh.shape['space']
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, 'ndim') else x
+        if x.ndim == 4:
+            if x.shape[-1] in (1, 3):                  # image NHWC
+                spec, h = P('data', 'space'), x.shape[1]
+            else:                                      # gt_masks [B,G,H,W]
+                spec, h = P('data', None, 'space'), x.shape[2]
+            if h % space:
+                raise ValueError(f'height {h} not divisible by '
+                                 f'space={space}')
+        else:
+            spec = P('data')
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
