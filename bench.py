@@ -34,7 +34,7 @@ def main():
 
     import os
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     dtype = sys.argv[3] if len(sys.argv) > 3 else 'bfloat16'
     config_name = os.environ.get('BENCH_CONFIG', 'yolact_base')
     profile_dir = os.environ.get('BENCH_PROFILE_DIR')
@@ -64,7 +64,7 @@ def main():
                        .astype(np.float32))
 
     t0 = time.perf_counter()
-    jax.block_until_ready(chained(imgs, 2))  # compile + warmup
+    _ = float(chained(imgs, 2))  # compile + warmup
     print(f'# compile+warmup: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
 
@@ -73,8 +73,12 @@ def main():
             jax.block_until_ready(chained(imgs, 3))
         print(f'# profile written to {profile_dir}', file=sys.stderr)
 
+    # fetching the scalar is the completion fence: through the TPU relay,
+    # block_until_ready has been observed returning before remote
+    # execution finishes on large donated pytrees (scripts/bench_train.py
+    # hit this); float() always round-trips.
     t0 = time.perf_counter()
-    jax.block_until_ready(chained(imgs, iters))
+    _ = float(chained(imgs, iters))
     dt = (time.perf_counter() - t0) / iters
 
     fps = batch / dt

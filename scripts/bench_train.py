@@ -1,0 +1,92 @@
+"""Training-step throughput benchmark on one TPU chip.
+
+Full yolact_base train step at 550x550 — forward, full MultiBox loss (B/C/M/S),
+backward, SGD update — on a synthetic batch.  Same chained-dependency
+methodology as bench.py (this host's relay coalesces identical async
+dispatches, so each iteration folds the previous loss into one input pixel
+to force genuinely serial device execution).
+
+    python scripts/bench_train.py [batch=8] [iters=10] [dtype=float32]
+
+Reference point: the reference trains yolact_base at ~1.7 it/s @ batch 8 on
+one GPU (800k iters / ~5.5 days, README-derived; see README.md perf table).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import yolact_tpu.utils.jax_setup  # noqa: E402,F401  persistent compile cache
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from yolact_tpu.config import get_config
+    from yolact_tpu.models.yolact import Yolact  # noqa: F401 (cfg classes)
+    from yolact_tpu.train.step import create_train_state, train_step
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    dtype = sys.argv[3] if len(sys.argv) > 3 else 'float32'
+
+    cfg = get_config('yolact_base').copy(compute_dtype=dtype)
+    model, state = create_train_state(cfg, seed=0)
+
+    S, G = cfg.max_size, 32
+    rng = np.random.RandomState(0)
+    data = dict(
+        image=jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32)),
+        gt_boxes=jnp.asarray(
+            np.tile(rng.rand(1, G, 4).astype(np.float32) * 0.4 + 0.1,
+                    (batch, 1, 1))),
+        gt_labels=jnp.asarray(
+            rng.randint(1, cfg.num_classes, (batch, G)).astype(np.int32)),
+        gt_masks=jnp.asarray(
+            rng.randint(0, 2, (batch, G, S, S)).astype(np.uint8)),
+        num_gts=jnp.full(batch, G - 1, jnp.int32),
+        num_crowds=jnp.ones(batch, jnp.int32))
+
+    @jax.jit
+    def chained(state, data, n):
+        def body(i, carry):
+            st, d, acc = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            st, losses = train_step(cfg, model, st, d, key)
+            s = losses['total'] * 1e-9
+            d = dict(d, image=d['image'].at[0, 0, 0, 0].add(s))
+            return st, d, acc + losses['total']
+        st, _, acc = jax.lax.fori_loop(0, n, body, (state, data, 0.0))
+        return st, acc
+
+    # compile + settle.  Through this host's TPU relay,
+    # jax.block_until_ready can return before remote execution finishes;
+    # fetching the scalar (float()) is the only reliable completion fence.
+    # Each rep perturbs the input so no dispatch is byte-identical to a
+    # previous one (the relay dedups identical async dispatches).
+    st, acc = chained(state, data, iters)
+    _ = float(acc)
+
+    times = []
+    for rep in range(3):
+        d = dict(data, image=data['image'] + 1e-6 * (rep + 1))
+        _ = float(jnp.sum(d['image']))  # settle the input transfer
+        t0 = time.perf_counter()
+        st, acc = chained(state, d, iters)
+        loss = float(acc) / iters       # fetch = completion fence
+        times.append(time.perf_counter() - t0)
+
+    dt = sorted(times)[len(times) // 2]
+    its = iters / dt
+    print(f'train step b{batch}@{S} {dtype}: {its:.2f} it/s '
+          f'({its * batch:.1f} img/s), median of {len(times)}, '
+          f'loss avg {loss:.1f}')
+
+
+if __name__ == '__main__':
+    main()

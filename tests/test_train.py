@@ -189,3 +189,26 @@ def test_bce_backward_matches_torch():
         torch.tensor(p2), torch.tensor(t2), reduction='sum'))
     got = float(jnp.sum(_torch_bce(jnp.asarray(p2), jnp.asarray(t2))))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_train_step_bf16_learns(rng):
+    """Mixed precision: bf16 trunk (cfg.compute_dtype), f32 params and
+    losses (loss.py upcasts at :483-490).  Must stay finite and reduce
+    loss; params must remain f32."""
+    from yolact_tpu.train.step import create_train_state, train_step
+    cfg = tiny_resnet_config(compute_dtype='bfloat16')
+    model, state = create_train_state(cfg, seed=0)
+    step = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r))
+    batch = make_batch(rng, cfg)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for _ in range(6):
+        key, sk = jax.random.split(key)
+        state, losses = step(state, batch, sk)
+        total = float(losses['total'])
+        assert np.isfinite(total), losses
+        if first is None:
+            first = total
+    assert total < first, (first, total)
+    kernel = state.params['model']['backbone']['conv1']['conv']['kernel']
+    assert kernel.dtype == np.float32
