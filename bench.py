@@ -39,7 +39,9 @@ def main():
     config_name = os.environ.get('BENCH_CONFIG', 'yolact_base')
     profile_dir = os.environ.get('BENCH_PROFILE_DIR')
 
-    cfg = get_config(config_name).copy(compute_dtype=dtype)
+    from yolact_tpu.infer import maybe_enable_stem_s2d
+    cfg = maybe_enable_stem_s2d(get_config(config_name).copy(
+        compute_dtype=dtype))
     model = Yolact(cfg)
     variables = random_variables(cfg)
 

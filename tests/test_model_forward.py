@@ -94,3 +94,45 @@ def test_use_prediction_module():
     assert 'block' in variables['params']['prediction_layers_0']
     out = model.apply(variables, x)
     assert np.isfinite(np.asarray(out['loc'])).all()
+
+
+def test_stem_s2d_matches_plain(rng):
+    """The space-to-depth stem (cfg.stem_s2d + preprocess_device_s2d) must
+    reproduce the plain pipeline exactly: same taps, same params, only the
+    data layout differs (models/layers.py:s2d_stem_kernel)."""
+    import jax
+    from _tiny import tiny_resnet_config
+    from yolact_tpu.infer import forward_and_detect, random_variables
+    from yolact_tpu.models.yolact import Yolact
+
+    cfg = tiny_resnet_config()
+    variables = random_variables(cfg)
+    imgs = (rng.rand(2, 96, 120, 3) * 255).astype(np.float32)  # raw BGR
+
+    out1 = jax.jit(lambda v, x: forward_and_detect(cfg, Yolact(cfg), v, x)
+                   )(variables, imgs)
+
+    cfg2 = cfg.copy(stem_s2d=True)
+    out2 = jax.jit(lambda v, x: forward_and_detect(cfg2, Yolact(cfg2), v, x)
+                   )(variables, imgs)
+
+    np.testing.assert_array_equal(np.asarray(out1.classes),
+                                  np.asarray(out2.classes))
+    np.testing.assert_allclose(np.asarray(out1.scores),
+                               np.asarray(out2.scores), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1.boxes),
+                               np.asarray(out2.boxes), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1.masks),
+                               np.asarray(out2.masks), atol=2e-4)
+
+
+def test_stem_s2d_rejected_for_non_resnet():
+    from _tiny import tiny_darknet_config
+    from yolact_tpu.models.yolact import Yolact
+    import jax.numpy as jnp
+    import jax
+    import pytest as _pytest
+    cfg = tiny_darknet_config().copy(stem_s2d=True)
+    with _pytest.raises(ValueError):
+        Yolact(cfg).init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 12)), train=False)

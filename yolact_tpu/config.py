@@ -403,6 +403,14 @@ class YolactConfig:
     # Run SSD augmentation on device inside the jitted train step
     # (data/device_augment.py) — needed when the host cannot feed the chip.
     use_device_augment: bool = False
+    # Space-to-depth stem (inference): the pipeline feeds the ResNet a
+    # normalized 2x2-space-to-depth [B,S/2,S/2,12] tensor in RAW (BGR)
+    # channel order and conv1 runs as an equivalent 4x4/s1 conv with the
+    # BGR->RGB flip folded into its kernel.  Avoids the C=3 lane-padding
+    # tax on every full-image op (profiled ~20% of b8 inference).  Same
+    # checkpoint params; enabled automatically by infer.Pipeline for
+    # ResNet backbones (see infer.maybe_enable_stem_s2d).
+    stem_s2d: bool = False
 
     def copy(self, **kw) -> 'YolactConfig':
         for k in ('mask_proto_net', 'extra_head_net', 'maskiou_net',

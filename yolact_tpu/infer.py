@@ -57,6 +57,59 @@ def preprocess_device(cfg: YolactConfig, img: jnp.ndarray,
     return img[..., ::-1]  # BGR -> RGB
 
 
+def preprocess_device_s2d(cfg: YolactConfig, img: jnp.ndarray) -> jnp.ndarray:
+    """Space-to-depth variant of :func:`preprocess_device` for
+    ``cfg.stem_s2d``: [B, H, W, 3] BGR float [0,255] -> normalized 2x2
+    space-to-depth [B, S/2, S/2, 12], still in BGR order (the stem conv
+    folds the channel flip into its kernel — models/layers.py:Conv).
+    Every full-image elementwise op then runs with 12 channels on the
+    128-lane axis instead of 3, 4x less lane padding."""
+    B = img.shape[0]
+    S = cfg.max_size
+    img = img.astype(jnp.float32)
+    if img.shape[1] != S or img.shape[2] != S:
+        img = jax.image.resize(img, (B, S, S, 3), method='linear')
+
+    # The rearrange runs as a stride-2 conv with a one-hot kernel (the MXU
+    # shuffles the data); a reshape+transpose formulation materializes a
+    # 6-D copy that costs ~2.5 ms/frame at batch 1.  The channel scale of
+    # the normalization folds into the kernel, the shift applies after
+    # (fuses into the conv epilogue).
+    t = cfg.backbone.transform
+    mean = jnp.tile(jnp.asarray(MEANS, jnp.float32), 4)
+    std = jnp.tile(jnp.asarray(STD, jnp.float32), 4)
+    eye = np.zeros((2, 2, 3, 12), np.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for c in range(3):
+                eye[p, q, c, (p * 2 + q) * 3 + c] = 1.0   # ch=(p*2+q)*3+c
+    if t.normalize:
+        kernel, shift = jnp.asarray(eye) / std, mean / std
+    elif t.subtract_means:
+        kernel, shift = jnp.asarray(eye), mean
+    elif t.to_float:
+        kernel, shift = jnp.asarray(eye) / 255.0, jnp.zeros(12)
+    else:
+        kernel, shift = jnp.asarray(eye), jnp.zeros(12)
+    x = jax.lax.conv_general_dilated(
+        img, kernel, (2, 2), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return x - shift
+
+
+def maybe_enable_stem_s2d(cfg: YolactConfig) -> YolactConfig:
+    """Turn on the space-to-depth stem when the config supports it
+    (ResNet backbone, square even input, RGB transform).  Only valid for
+    pipelines that run :func:`preprocess_device_s2d` on raw images."""
+    if (cfg.backbone.type in ('resnet', 'resnet_gn')
+            and not cfg.preserve_aspect_ratio
+            and cfg.max_size % 2 == 0
+            and cfg.mask_proto_src is not None
+            and cfg.backbone.transform.channel_order == 'RGB'):
+        return cfg.copy(stem_s2d=True)
+    return cfg
+
+
 class InferenceOutput(NamedTuple):
     boxes: jnp.ndarray       # [B, D, 4] relative point form
     classes: jnp.ndarray     # [B, D] int32 (0-based foreground)
@@ -73,7 +126,11 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
                        use_cross_class_nms: bool = False,
                        score_threshold: float = 0.0) -> InferenceOutput:
     """The full device program (jit me)."""
-    x = preprocess_device(cfg, images) if preprocess else images
+    if preprocess:
+        x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
+            else preprocess_device(cfg, images)
+    else:
+        x = images
     preds = model.apply(variables, x, train=False)
     dets = detect(cfg, preds, use_fast_nms=use_fast_nms,
                   use_cross_class_nms=use_cross_class_nms)
@@ -93,7 +150,11 @@ def forward_raw(cfg: YolactConfig, model: Yolact, variables: Dict,
     """Device program for the host (traditional) NMS path: returns
     (decoded boxes [B,P,4], softmaxed fg scores [B,C-1,P], coeffs, proto)."""
     from yolact_tpu.ops.boxes import decode
-    x = preprocess_device(cfg, images) if preprocess else images
+    if preprocess:
+        x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
+            else preprocess_device(cfg, images)
+    else:
+        x = images
     preds = model.apply(variables, x, train=False)
     conf = jax.nn.softmax(preds['conf'].astype(jnp.float32), axis=-1)
     scores = jnp.swapaxes(conf[..., 1:], 1, 2)
@@ -113,6 +174,10 @@ class Pipeline:
                  use_cross_class_nms: bool = False,
                  preprocess: bool = True,
                  score_threshold: float = 0.0):
+        if preprocess:
+            # raw-image pipelines get the space-to-depth stem for free
+            # (same params; see maybe_enable_stem_s2d)
+            cfg = maybe_enable_stem_s2d(cfg)
         self.cfg = cfg
         self.model = Yolact(cfg)
         self.variables = variables
@@ -131,5 +196,7 @@ class Pipeline:
 
 def random_variables(cfg: YolactConfig, seed: int = 0):
     model = Yolact(cfg)
-    dummy = jnp.zeros((1, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    S = cfg.max_size
+    shape = (1, S // 2, S // 2, 12) if cfg.stem_s2d else (1, S, S, 3)
+    dummy = jnp.zeros(shape, jnp.float32)
     return model.init(jax.random.PRNGKey(seed), dummy, train=False)

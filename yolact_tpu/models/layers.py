@@ -38,8 +38,42 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, shape, method='linear')
 
 
+class _KernelParam(nn.Module):
+    """Bare kernel parameter at the same path nn.Conv would use
+    (``<parent>/conv/kernel``), for alternate application schemes."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.xavier_uniform(),
+                          self.shape)
+
+
+def s2d_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rewrite a 7x7/s2/p3 kernel [7,7,Cin,Cout] (RGB input order) as the
+    equivalent 4x4/s1 kernel [4,4,4*Cin,Cout] over a 2x2 space-to-depth
+    input in RAW (BGR) channel order, channel layout ``(p*2+q)*Cin + c``.
+    Derivation: output tap a = 2m + p - 1 (a in [-1,6] covers the 7 taps
+    for m in [0,4), p in {0,1}); out-of-range taps are zero."""
+    K, _, cin, cout = w.shape
+    if K != 7:
+        raise NotImplementedError('s2d stem assumes a 7x7/s2/p3 conv')
+    w = w[:, :, ::-1, :]                      # fold BGR->RGB into weights
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # index a+1, a>=-1
+    wp = wp.reshape(4, 2, 4, 2, cin, cout)    # [m, p, n, q, cin, cout]
+    wp = wp.transpose(0, 2, 1, 3, 4, 5)       # [m, n, p, q, cin, cout]
+    return wp.reshape(4, 4, 4 * cin, cout)
+
+
 class Conv(nn.Module):
-    """2D conv with torch-style integer padding, NHWC/HWIO."""
+    """2D conv with torch-style integer padding, NHWC/HWIO.
+
+    ``stem_s2d``: inference-only alternate application for the ResNet
+    7x7/s2/p3 stem — the input is a 2x2 space-to-depth of the raw-order
+    (BGR) image and the conv runs as 4x4/s1 with asymmetric padding
+    (2,1); mathematically identical taps (see :func:`s2d_stem_kernel`),
+    identical parameter shape/path, so checkpoints are unaffected.
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -47,9 +81,21 @@ class Conv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.stem_s2d:
+            if (self.kernel_size, self.stride, self.padding,
+                    self.dilation, self.use_bias) != (7, 2, 3, 1, False):
+                raise NotImplementedError('stem_s2d supports 7x7/s2/p3')
+            cin = x.shape[-1] // 4
+            w = _KernelParam((7, 7, cin, self.features), name='conv')()
+            w2 = s2d_stem_kernel(w)
+            dt = self.dtype or x.dtype
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), w2.astype(dt), (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         p = self.padding
         # xavier_uniform + zero bias matches the reference's init_weights
         # (yolact.py:492-547) for every non-backbone conv; backbone convs

@@ -144,6 +144,7 @@ class ResNetBackbone(nn.Module):
     num_stages: Optional[int] = None  # >4 adds SSD extra stages
     norm: str = 'bn'
     dtype: Optional[Any] = None
+    stem_s2d: bool = False  # input is 2x2 space-to-depth (see layers.Conv)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -151,7 +152,8 @@ class ResNetBackbone(nn.Module):
         plans = _stage_plan(self.layers, self.dcn_layers, self.dcn_interval,
                             self.atrous_layers, extra)
 
-        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
+                 stem_s2d=self.stem_s2d, name='conv1')(x)
         if self.norm == 'gn':
             x = GroupNorm(dtype=self.dtype, name='bn1')(x, train)
         else:

@@ -48,7 +48,10 @@ def _build_backbone(cfg: YolactConfig, dtype):
             atrous_layers=atrous,
             num_stages=max(num_stages, len(layers)),
             norm='gn' if bb.type == 'resnet_gn' else 'bn',
+            stem_s2d=cfg.stem_s2d,
             dtype=dtype, name='backbone')
+    if cfg.stem_s2d:
+        raise ValueError('stem_s2d is only supported for ResNet backbones')
     if bb.type == 'darknet':
         layers = tuple(bb.args[0])
         return DarkNetBackbone(layers=layers,
@@ -89,6 +92,9 @@ class Yolact(nn.Module):
 
         proto_out = None
         if cfg.mask_type == MaskType.LINCOMB and cfg.eval_mask_branch:
+            if cfg.mask_proto_src is None and cfg.stem_s2d:
+                raise ValueError('stem_s2d cannot feed the protonet the '
+                                 'raw image (mask_proto_src=None)')
             proto_x = x if cfg.mask_proto_src is None else outs[cfg.mask_proto_src]
             proto_out = ProtoNet(cfg, dtype=dtype, name='proto')(proto_x)
 
@@ -118,8 +124,11 @@ class Yolact(nn.Module):
             k: jnp.concatenate([p[k] for p in preds], axis=1)
             for k in preds[0]}
 
+        # logical image size: a space-to-depth input is at half resolution
+        scale = 2 if cfg.stem_s2d else 1
         pred_outs['priors'] = jnp.asarray(
-            generate_priors(cfg, (x.shape[1], x.shape[2])), jnp.float32)
+            generate_priors(cfg, (x.shape[1] * scale, x.shape[2] * scale)),
+            jnp.float32)
 
         if proto_out is not None:
             pred_outs['proto'] = proto_out
