@@ -53,8 +53,12 @@ def _fast_nms_single(cfg: YolactConfig, boxes, coeffs, scores,
     prior failed the candidate filter)."""
     top_k = min(cfg.nms_top_k, scores.shape[-1])
     sorted_scores, idx = jax.lax.top_k(scores, top_k)      # [C-1, top_k]
-    boxes_c = boxes[idx]                                   # [C-1, top_k, 4]
-    coeffs_c = coeffs[idx]
+    # one-hot matmul instead of a row gather: 16k gathers of 16-byte rows
+    # cost ~1.6 ms per b8 batch on TPU; the MXU selection is exact (one
+    # 1.0 per row) and near-free
+    onehot = (idx[..., None] ==
+              jnp.arange(boxes.shape[0])).astype(boxes.dtype)
+    boxes_c = onehot @ boxes                               # [C-1, top_k, 4]
 
     iou = jaccard(boxes_c, boxes_c)                        # [C-1, k, k]
     iou_max = _triu_max(iou)
@@ -68,8 +72,12 @@ def _fast_nms_single(cfg: YolactConfig, boxes, coeffs, scores,
     out_scores, flat_idx = jax.lax.top_k(flat_scores, n_out)
 
     classes = flat_idx // top_k
-    out_boxes = boxes_c.reshape(-1, 4)[flat_idx]
-    out_coeffs = coeffs_c.reshape(-1, coeffs_c.shape[-1])[flat_idx]
+    # gather the survivors from the original arrays via index composition:
+    # gathering coeffs for all C*top_k candidates first costs ~1.6 ms per
+    # b8 batch (profiled) for rows that are then thrown away
+    orig_idx = idx.reshape(-1)[flat_idx]                   # [D] prior ids
+    out_boxes = boxes[orig_idx]
+    out_coeffs = coeffs[orig_idx]
     valid = out_scores > 0
     return out_boxes, out_coeffs, classes, out_scores, valid
 

@@ -36,10 +36,18 @@ def intersect(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
     box_a: [..., A, 4], box_b: [..., B, 4] (point form) -> [..., A, B].
     Ref: box_utils.py:32-52.
     """
-    max_xy = jnp.minimum(box_a[..., :, None, 2:], box_b[..., None, :, 2:])
-    min_xy = jnp.maximum(box_a[..., :, None, :2], box_b[..., None, :, :2])
-    wh = jnp.clip(max_xy - min_xy, min=0)
-    return wh[..., 0] * wh[..., 1]
+    # x and y handled as separate [..., A, B] planes: a stacked
+    # [..., A, B, 2] intermediate puts 2 elements on the 128-lane axis
+    # (profiled 64x lane waste in the NMS IoU matrix)
+    w = jnp.clip(
+        jnp.minimum(box_a[..., :, None, 2], box_b[..., None, :, 2])
+        - jnp.maximum(box_a[..., :, None, 0], box_b[..., None, :, 0]),
+        min=0)
+    h = jnp.clip(
+        jnp.minimum(box_a[..., :, None, 3], box_b[..., None, :, 3])
+        - jnp.maximum(box_a[..., :, None, 1], box_b[..., None, :, 1]),
+        min=0)
+    return w * h
 
 
 def area(boxes: jnp.ndarray) -> jnp.ndarray:
