@@ -58,21 +58,34 @@ def _match_single(cfg: YolactConfig, gt_boxes, gt_labels, priors, loc_pred):
     best_truth_overlap = jnp.max(overlaps, axis=0)       # [P]
     best_truth_idx = jnp.argmax(overlaps, axis=0)
 
+    # The greedy loop only ever consults each gt's best REMAINING prior,
+    # and every iteration removes exactly one prior globally — so after
+    # G-1 removals a row's best remaining is still within its top-G
+    # candidates.  Compacting [G, P] -> [G, G+1] before the loop keeps
+    # the fori_loop carry tiny (the full-matrix version carried and
+    # copied [G,19248] every trip: profiled ~15% of the b8 train step).
+    # top_k orders ties by ascending index, matching argmax tie-breaks.
+    K = min(G + 1, overlaps.shape[1])
+    # lax.top_k (not approx_max_k): ties must resolve to the lowest prior
+    # index to replicate the reference argmax — approx_max_k's partial
+    # reduce returns tied candidates in arbitrary order on TPU, which
+    # breaks parity for all-zero-IoU gts and symmetric anchor ties.
+    cand_vals, cand_idx = jax.lax.top_k(overlaps, K)     # [G, K]
+
     def body(_, state):
-        ov, bto, bti = state
-        # global argmax over the remaining [G, P] matrix
-        best_per_gt = jnp.max(ov, axis=1)                # [G]
+        sm, bto, bti = state
+        best_per_gt = jnp.max(sm, axis=1)                # [G]
         j = jnp.argmax(best_per_gt)                      # gt with highest IoU
-        i = jnp.argmax(ov[j])                            # its best prior
+        i = cand_idx[j, jnp.argmax(sm[j])]               # its best prior
         live = best_per_gt[j] > -0.5                     # skip padded rows
-        ov = jnp.where(live,
-                       ov.at[:, i].set(-1).at[j, :].set(-1), ov)
+        sm = jnp.where(live, jnp.where(cand_idx == i, -1.0, sm), sm)
+        sm = jnp.where(live, sm.at[j].set(-1.0), sm)
         bto = jnp.where(live, bto.at[i].set(2), bto)
         bti = jnp.where(live, bti.at[i].set(j), bti)
-        return ov, bto, bti
+        return sm, bto, bti
 
     _, best_truth_overlap, best_truth_idx = jax.lax.fori_loop(
-        0, G, body, (overlaps, best_truth_overlap, best_truth_idx))
+        0, G, body, (cand_vals, best_truth_overlap, best_truth_idx))
 
     matches = gt_boxes[best_truth_idx]                   # [P, 4]
     conf = gt_labels[best_truth_idx] + 1                 # [P]
