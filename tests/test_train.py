@@ -212,3 +212,29 @@ def test_train_step_bf16_learns(rng):
     assert total < first, (first, total)
     kernel = state.params['model']['backbone']['conv1']['conv']['kernel']
     assert kernel.dtype == np.float32
+
+
+def test_train_step_stem_s2d_matches_plain(rng):
+    """--stem_s2d: the space-to-depth stem must give the same losses and
+    the same parameter update as the plain stem (identical taps, only the
+    layout differs)."""
+    from yolact_tpu.train.step import create_train_state, train_step
+    cfg = tiny_resnet_config(freeze_bn=True)
+    model, state0 = create_train_state(cfg, seed=0)
+    batch = make_batch(rng, cfg)
+    key = jax.random.PRNGKey(3)
+    s1, l1 = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r))(
+        state0, batch, key)
+
+    cfg2 = cfg.copy(stem_s2d=True)
+    from yolact_tpu.models.yolact import Yolact
+    model2 = Yolact(cfg2)
+    s2, l2 = jax.jit(lambda s, b, r: train_step(cfg2, model2, s, b, r))(
+        state0, batch, key)
+
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l2[k]), rtol=2e-4,
+                                   err_msg=k)
+    w1 = np.asarray(s1.params['model']['backbone']['conv1']['conv']['kernel'])
+    w2 = np.asarray(s2.params['model']['backbone']['conv1']['conv']['kernel'])
+    np.testing.assert_allclose(w1, w2, atol=5e-6)

@@ -58,13 +58,18 @@ def parse_args(argv=None):
                    help='multi-host: call jax.distributed.initialize() so '
                         'the mesh spans all TPU pod hosts (replaces the '
                         'reference, which has no multi-node support)')
+    p.add_argument('--stem_s2d', dest='stem_s2d', action='store_true',
+                   help='space-to-depth stem during training (ResNet '
+                        'configs; same math, avoids the 3-channel '
+                        'lane-padding tax on the 550x550 input)')
     p.add_argument('--spatial_split', default=1, type=int,
                    help='shard the image-height dim across this many '
                         'devices (2-D data x space mesh; XLA inserts conv '
                         'halo exchanges).  For high-resolution configs '
                         'whose activations exceed one chip\'s HBM')
     p.set_defaults(keep_latest=False, log=True, log_gpu=False, interrupt=True,
-                   autoscale=True, distributed=False, device_augment=False)
+                   autoscale=True, distributed=False, device_augment=False,
+                   stem_s2d=False)
     return p.parse_args(argv)
 
 
@@ -108,6 +113,8 @@ def train(argv=None):
         overrides['freeze_bn'] = True
     if args.device_augment:
         overrides['use_device_augment'] = True
+    if args.stem_s2d:
+        overrides['stem_s2d'] = True
     if overrides:
         cfg = cfg.copy(**overrides)
 

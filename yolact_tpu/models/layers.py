@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -63,6 +64,25 @@ def s2d_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
     wp = wp.reshape(4, 2, 4, 2, cin, cout)    # [m, p, n, q, cin, cout]
     wp = wp.transpose(0, 2, 1, 3, 4, 5)       # [m, n, p, q, cin, cout]
     return wp.reshape(4, 4, 4 * cin, cout)
+
+
+def s2d_input(img: jnp.ndarray, from_rgb: bool = False) -> jnp.ndarray:
+    """[B,H,W,3] -> 2x2 space-to-depth [B,H/2,W/2,12] in RAW (BGR) channel
+    order (the stem conv's contract), via a one-hot stride-2 conv — the
+    MXU does the shuffle; a reshape+transpose materializes a slow 6-D
+    copy.  ``from_rgb`` reorders an already-RGB input back to raw order
+    for free (kernel column permutation)."""
+    if img.shape[1] % 2 or img.shape[2] % 2:
+        raise ValueError('s2d input needs even H and W')
+    eye = np.zeros((2, 2, 3, 12), np.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for c in range(3):
+                out_c = (2 - c) if from_rgb else c
+                eye[p, q, c, (p * 2 + q) * 3 + out_c] = 1.0
+    return jax.lax.conv_general_dilated(
+        img, jnp.asarray(eye, img.dtype), (2, 2), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
 class Conv(nn.Module):

@@ -118,7 +118,10 @@ def ohem_conf_loss(cfg: YolactConfig, conf_data, conf_t, pos,
     selected = pos | neg
     logp = _log_softmax(conf_data)
     tgt = jnp.clip(conf_t, 0, C - 1)
-    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # one-hot reduction instead of take_along_axis: the row gather (and
+    # its scatter backward) is slow on TPU for [B*P] short rows; the
+    # selection is exact (log_softmax of finite logits is finite)
+    ce = -(logp * jax.nn.one_hot(tgt, C, dtype=logp.dtype)).sum(-1)
 
     if cfg.use_class_balanced_conf and conf_state is not None:
         sel_f = selected.reshape(-1).astype(jnp.float32)

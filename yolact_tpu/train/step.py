@@ -65,7 +65,8 @@ def create_train_state(cfg: YolactConfig, seed: int = 0,
                        img_size: Optional[int] = None) -> Tuple[Any, TrainState]:
     model = Yolact(cfg)
     size = img_size or cfg.max_size
-    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    dummy = jnp.zeros((1, size // 2, size // 2, 12) if cfg.stem_s2d
+                      else (1, size, size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=True)
     params = {'model': variables['params']}
     if cfg.use_maskiou:
@@ -97,10 +98,17 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
         rng, aug_rng = jax.random.split(rng)
         batch = device_augment(cfg, batch, aug_rng)
 
+    image = batch['image']
+    if cfg.stem_s2d:
+        # the loader/augment pipeline emits normalized RGB images; the
+        # s2d stem consumes raw-order space-to-depth (models/layers.py)
+        from yolact_tpu.models.layers import s2d_input
+        image = s2d_input(image, from_rgb=True)
+
     def loss_fn(params):
         out = model.apply(
             {'params': params['model'], 'batch_stats': state.batch_stats},
-            batch['image'], train=True,
+            image, train=True,
             mutable=['batch_stats'] if bn_train else False)
         if bn_train:
             preds, new_model_state = out
