@@ -265,3 +265,51 @@ def test_mask_loss_flag_variants_parity(ref, flags):
     np.testing.assert_allclose(
         float(got['M']), want['M'], rtol=5e-3,
         err_msg=f'{flags}: ref={want["M"]} ours={float(got["M"])}')
+
+
+def test_matcher_segmented_topk_ties():
+    """Exercises the multi-segment top-k path (P >> seg) with quantized
+    coordinates so IoU ties are common: must match a naive numpy greedy
+    matcher bit-for-bit (ties resolve to the lowest prior index,
+    box_utils.py:189-207 argmax semantics)."""
+    from yolact_tpu.ops.boxes import jaccard, point_form
+    from yolact_tpu.train.matcher import match as our_match
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(7)
+    P, G = 2048, 12
+    # quantized grid -> many identical boxes -> exact IoU ties
+    priors_xy = (rng.randint(0, 8, (P, 2)) / 8.0 + 0.0625).astype(np.float32)
+    priors_wh = (rng.randint(1, 4, (P, 2)) / 8.0).astype(np.float32)
+    priors = np.concatenate([priors_xy, priors_wh], 1)
+    xy1 = (rng.randint(0, 6, (G, 2)) / 8.0).astype(np.float32)
+    wh = (rng.randint(1, 3, (G, 2)) / 8.0).astype(np.float32)
+    gt_boxes = np.concatenate([xy1, xy1 + wh], 1)
+    gt_labels = rng.randint(0, 4, G).astype(np.int32)
+    # one gt guaranteed to overlap nothing (zero-size corner box): the
+    # greedy loop must force-match it to the lowest-index tied prior
+    gt_boxes[-1] = [0.999, 0.999, 1.0, 1.0]
+
+    ov = np.asarray(jaccard(jnp.asarray(gt_boxes),
+                            point_form(jnp.asarray(priors))))
+    bto = ov.max(axis=0)
+    bti = ov.argmax(axis=0)
+    ovm = ov.copy()
+    for _ in range(G):
+        j = ovm.max(axis=1).argmax()
+        if ovm[j].max() <= -0.5:
+            continue
+        i = ovm[j].argmax()
+        ovm[:, i] = -1
+        ovm[j, :] = -1
+        bto[i] = 2
+        bti[i] = j
+
+    m = our_match(cfg, gt_boxes[None], gt_labels[None], priors)
+    conf = gt_labels[bti] + 1
+    conf = np.where(bto < cfg.positive_iou_threshold, -1, conf)
+    conf = np.where(bto < cfg.negative_iou_threshold, 0, conf)
+    np.testing.assert_array_equal(np.asarray(m.conf_t[0]), conf)
+    mask = conf != 0
+    np.testing.assert_array_equal(np.asarray(m.idx_t[0])[mask], bti[mask])
