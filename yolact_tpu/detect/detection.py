@@ -155,7 +155,11 @@ def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
     # [C-1, 19248], removing most of the detection-stage sort cost.
     n_cand = getattr(cfg, 'nms_candidates', 0)
     if n_cand and n_cand < scores_all.shape[-1]:
-        _, keep_idx = jax.lax.top_k(best, n_cand)             # [B, N]
+        # approx_max_k at recall 1.0: exact candidate CONTENT via partial
+        # reduce (no full sort); candidate order is irrelevant here — the
+        # per-class top_k downstream re-sorts by class score
+        _, keep_idx = jax.lax.approx_max_k(
+            best, n_cand, recall_target=1.0)                  # [B, N]
         scores_all = jnp.take_along_axis(
             scores_all, keep_idx[:, None, :], axis=2)
         boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
