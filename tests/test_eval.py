@@ -280,3 +280,18 @@ def test_device_mask_iou_matches_host(tiny_eval_setup):
         for k in m_host[t]:
             assert abs(m_host[t][k] - m_dev[t][k]) < 0.75, \
                 (t, k, m_host[t][k], m_dev[t][k])
+
+
+def test_evaluate_stem_s2d_matches_plain(tiny_eval_setup):
+    """Dataset eval with the space-to-depth stem must give the same mAP
+    as the plain stem (exact rearrange, same params)."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    m1 = evaluate_dataset(cfg, variables, dataset, quiet=True)
+    m2 = evaluate_dataset(cfg.copy(stem_s2d=True), variables, dataset,
+                          quiet=True)
+    assert m1 == m2

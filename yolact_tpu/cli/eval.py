@@ -69,6 +69,11 @@ def parse_args(argv=None):
                    action='store_true')
     p.add_argument('--emulate_playback', default=False,
                    dest='emulate_playback', action='store_true')
+    p.add_argument('--stem_s2d', default=False, dest='stem_s2d',
+                   action='store_true',
+                   help='space-to-depth stem for the dataset-eval path '
+                        '(raw-image pipelines enable it automatically); '
+                        'numerically equivalent — exposed for mAP A/B')
     p.set_defaults(no_bar=False, display=False, resume=False, detect=False,
                    display_fps=False, emulate_playback=False)
     return p.parse_args(argv)
@@ -95,6 +100,8 @@ def load_model(args):
         cfg = cfg.copy(dataset=get_dataset(args.dataset))
     if args.detect:
         cfg = cfg.copy(eval_mask_branch=False)
+    if args.stem_s2d:
+        cfg = cfg.copy(stem_s2d=True)
 
     variables = load_weights(cfg, args.trained_model)
     maskiou_vars = variables.pop('maskiou', None) if isinstance(

@@ -129,6 +129,11 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
     if preprocess:
         x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
             else preprocess_device(cfg, images)
+    elif cfg.stem_s2d:
+        # host-preprocessed (normalized RGB) input, s2d stem requested:
+        # rearrange on device (exact; models/layers.py:s2d_input)
+        from yolact_tpu.models.layers import s2d_input
+        x = s2d_input(images, from_rgb=True)
     else:
         x = images
     preds = model.apply(variables, x, train=False)
@@ -153,6 +158,11 @@ def forward_raw(cfg: YolactConfig, model: Yolact, variables: Dict,
     if preprocess:
         x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
             else preprocess_device(cfg, images)
+    elif cfg.stem_s2d:
+        # host-preprocessed (normalized RGB) input, s2d stem requested:
+        # rearrange on device (exact; models/layers.py:s2d_input)
+        from yolact_tpu.models.layers import s2d_input
+        x = s2d_input(images, from_rgb=True)
     else:
         x = images
     preds = model.apply(variables, x, train=False)
