@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument('--no_log', dest='log', action='store_false')
     p.add_argument('--log_gpu', dest='log_gpu', action='store_true')
     p.add_argument('--no_interrupt', dest='interrupt', action='store_false')
+    p.add_argument('--cuda', default=True, type=lambda v: str(v).lower()
+                   in ('yes', 'true', 't', '1'),
+                   help='accepted for CLI parity; device selection is '
+                        'JAX\'s (train.py:49)')
     p.add_argument('--batch_alloc', default=None, type=str,
                    help='accepted for CLI parity; TPU chips are homogeneous '
                         'so per-device batch allocation is ignored')
