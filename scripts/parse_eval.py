@@ -5,7 +5,6 @@ Reads the text table printed by calc_map / cli.eval and emits CSV rows.
 Usage: python scripts/parse_eval.py eval_output.txt
 """
 
-import re
 import sys
 
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import argparse
 import math
 import signal
-import sys
 import time
 
 import jax

@@ -17,10 +17,9 @@ triggers a resample (``data/coco.py:172-174``).
 from __future__ import annotations
 
 import json
-import os
 import os.path as osp
 import random as _random
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

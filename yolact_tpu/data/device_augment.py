@@ -34,7 +34,7 @@ S x S source (slightly softer for small crops).  The host pipeline
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ cv2.  Pure numpy — the mask compositing cost is trivial next to the network.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

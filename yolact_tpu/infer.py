@@ -11,17 +11,16 @@ work per frame is JPEG decode and final mask upsampling.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from yolact_tpu.config import MEANS, STD, YolactConfig
-from yolact_tpu.detect.detection import Detections, detect
+from yolact_tpu.detect.detection import detect
 from yolact_tpu.detect.postprocess import (postprocess_device,
-                                           rescore_with_maskiou,
-                                           upsample_masks_device)
+                                           rescore_with_maskiou)
 from yolact_tpu.models.yolact import MaskIoUHead, Yolact
 
 

@@ -12,7 +12,7 @@ module instance, replacing the reference's `parent` pointer hack
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

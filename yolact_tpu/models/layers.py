@@ -13,7 +13,7 @@ Semantics notes for checkpoint parity with the PyTorch reference:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

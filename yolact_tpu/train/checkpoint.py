@@ -14,7 +14,7 @@ reference weights work as both eval weights and training init.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

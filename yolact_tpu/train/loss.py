@@ -21,7 +21,7 @@ divide by batch size (``multibox_loss.py:196-203``).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ arbitrary code, unlike the reference's lambda strings).
 
 from __future__ import annotations
 
-import datetime
 import json
 import os
 import platform

@@ -8,7 +8,7 @@ mirrors ``visible_gpus`` honoring JAX's device visibility.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 def device_info() -> List[Dict]:
