@@ -159,3 +159,33 @@ def test_eval_mode_bn_parity(tiny_pair):
     for o, r in zip(ours, ref_outs):
         np.testing.assert_allclose(
             np.asarray(o), np.transpose(r.numpy(), (0, 2, 3, 1)), atol=2e-4)
+
+
+def test_prototypes_as_features_parity(ref):
+    """mask_proto_prototypes_as_features (yolact.py:86,591-622): activated
+    prototypes progressively resized and concatenated to each head input."""
+    import sys as _sys
+    ref_yolact, ref_config = ref
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from _tiny import tiny_resnet_config
+
+    ref_config.set_cfg('yolact_base_config')
+    rc = tiny_ref_cfg(ref_config).copy({
+        'mask_proto_prototypes_as_features': True})
+    ref_config.cfg.replace(rc)
+
+    torch.manual_seed(1)
+    net = ref_yolact.Yolact()
+    net.train()
+
+    from yolact_tpu.convert.torch_import import convert_state_dict
+    cfg = tiny_resnet_config().copy(mask_proto_prototypes_as_features=True)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    variables, unhandled = convert_state_dict(cfg, sd)
+    assert not unhandled, f'unconverted keys: {unhandled}'
+
+    ref_out, ours = _run_both(cfg, net, variables, seed=3)
+    for key, atol in (('loc', 3e-4), ('conf', 3e-4), ('mask', 3e-4)):
+        np.testing.assert_allclose(
+            np.asarray(ours[key]), ref_out[key].numpy(), atol=atol,
+            err_msg=key)

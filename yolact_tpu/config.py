@@ -303,7 +303,7 @@ class YolactConfig:
     mask_proto_mask_activation: str = 'sigmoid'
     mask_proto_coeff_activation: str = 'tanh'
     mask_proto_crop: bool = True
-    mask_proto_crop_expand: float = 0
+    mask_proto_crop_expand: float = 0    # declared-but-never-read in the reference too
     mask_proto_loss: Optional[str] = None
     mask_proto_binarize_downsampled_gt: bool = True
     mask_proto_normalize_mask_loss_by_sqrt_area: bool = False
@@ -352,7 +352,7 @@ class YolactConfig:
     semantic_segmentation_alpha: float = 1
 
     use_mask_scoring: bool = False
-    mask_scoring_alpha: float = 1
+    mask_scoring_alpha: float = 1        # declared-but-never-read in the reference too
     use_change_matching: bool = False
 
     extra_head_net: Optional[Tuple[LayerSpec, ...]] = None
@@ -365,8 +365,8 @@ class YolactConfig:
     crowd_iou_threshold: float = 1
 
     max_size: int = 300
-    force_cpu_nms: bool = True
-    use_coeff_nms: bool = False
+    force_cpu_nms: bool = True           # declared-but-never-read in the reference too
+    use_coeff_nms: bool = False          # declared-but-never-read in the reference too
     use_instance_coeff: bool = False
     num_instance_coeffs: int = 64
 
@@ -379,7 +379,7 @@ class YolactConfig:
     use_prediction_matching: bool = False
 
     delayed_settings: Tuple[Tuple[int, Tuple[Tuple[str, Any], ...]], ...] = ()
-    no_jit: bool = False
+    no_jit: bool = False                 # torch-jit toggle; meaningless under XLA
 
     backbone: Optional[BackboneConfig] = None
 

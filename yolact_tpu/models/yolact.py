@@ -22,10 +22,9 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
-from yolact_tpu.config import MaskType, YolactConfig, backbone_channels
+from yolact_tpu.config import MaskType, YolactConfig
 from yolact_tpu.models.darknet import DarkNetBackbone
 from yolact_tpu.models.fpn import FPN
 from yolact_tpu.models.heads import FastMaskIoUNet, PredictionHead, ProtoNet
@@ -104,6 +103,22 @@ class Yolact(nn.Module):
             len(ars) * len(cfg.backbone.pred_scales[0])
             for ars in cfg.backbone.pred_aspect_ratios[0])
 
+        # prototypes-as-features (yolact.py:591-622): the activated
+        # pre-bias prototypes are bilinearly rescaled to each head level
+        # and concatenated to its input.  NOTE the reference resizes the
+        # PREVIOUSLY-resized tensor at every level (progressive
+        # downsampling chain), reproduced here for parity.
+        proto_feat = None
+        if (cfg.mask_type == MaskType.LINCOMB
+                and cfg.mask_proto_prototypes_as_features):
+            if proto_out is None:
+                raise ValueError('mask_proto_prototypes_as_features needs '
+                                 'the lincomb mask branch enabled')
+            proto_feat = proto_out[..., :-1] if cfg.mask_proto_bias \
+                else proto_out
+            if cfg.mask_proto_prototypes_as_features_no_grad:
+                proto_feat = jax.lax.stop_gradient(proto_feat)
+
         preds = []
         shared_head = None
         for idx in range(len(outs)):
@@ -118,7 +133,16 @@ class Yolact(nn.Module):
                           for ars in cfg.backbone.pred_aspect_ratios[idx])
                 head = PredictionHead(cfg, n_p, dtype=dtype,
                                       name=f'prediction_layers_{idx}')
-            preds.append(head(outs[idx], head_index=idx))
+            head_x = outs[idx]
+            if proto_feat is not None:
+                # torch-exact non-antialiased bilinear (F.interpolate);
+                # jax.image.resize antialiases on downscale
+                from yolact_tpu.ops.resize import resize_bilinear_torch
+                pf = jnp.transpose(proto_feat, (0, 3, 1, 2))
+                pf = resize_bilinear_torch(pf, head_x.shape[1:3])
+                proto_feat = jnp.transpose(pf, (0, 2, 3, 1)).astype(dtype)
+                head_x = jnp.concatenate([head_x, proto_feat], axis=-1)
+            preds.append(head(head_x, head_index=idx))
 
         pred_outs: Dict[str, Any] = {
             k: jnp.concatenate([p[k] for p in preds], axis=1)
