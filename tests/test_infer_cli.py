@@ -114,3 +114,24 @@ def test_cli_evalimage_lincomb(tiny_ckpt, tmp_path):
     main(['--trained_model', ckpt, f'--image={inp}',
           '--display_lincomb=True'])
     assert os.path.exists(str(tmp_path / 'in_lincomb.png'))
+
+
+def test_cli_evalimages_directory(tiny_ckpt, tmp_path):
+    """--images in_dir:out_dir renders every image (eval.py:612-634)."""
+    import cv2
+    from yolact_tpu.cli.eval import main
+    cfg, ckpt = tiny_ckpt
+    ind = tmp_path / 'in'
+    outd = tmp_path / 'out'
+    ind.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        cv2.imwrite(str(ind / f'im{i}.jpg'),
+                    (rng.rand(50, 60, 3) * 255).astype(np.uint8))
+    main(['--trained_model', ckpt, f'--images={ind}:{outd}',
+          '--score_threshold=0.0'])
+    outs = sorted(os.listdir(outd))
+    assert outs == ['im0.png', 'im1.png']
+    for f in outs:
+        img = cv2.imread(str(outd / f))
+        assert img is not None and img.shape == (50, 60, 3)
