@@ -44,12 +44,21 @@ def main():
         compute_dtype=dtype))
     model = Yolact(cfg)
     variables = random_variables(cfg)
+    maskiou_vars = None
+    if cfg.use_maskiou:
+        # yolact_plus rescoring is part of the timed pipeline, like the
+        # reference's eval path (output_utils.py:79-88)
+        from yolact_tpu.models.yolact import MaskIoUHead
+        Hp = 2 * (cfg.max_size // 4)
+        maskiou_vars = MaskIoUHead(cfg).init(
+            jax.random.PRNGKey(1), jnp.zeros((1, Hp, Hp, 1), jnp.float32))
 
     @jax.jit
     def chained(images, n):
         def body(_, carry):
             img, acc = carry
-            out = forward_and_detect(cfg, model, variables, img)
+            out = forward_and_detect(cfg, model, variables, img,
+                                     maskiou_variables=maskiou_vars)
             # consume every output so XLA cannot dead-code-eliminate the
             # mask-assembly (or any other) stage
             s = (jnp.sum(out.scores) + jnp.sum(out.masks) * 1e-3 +
