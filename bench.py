@@ -18,6 +18,7 @@ Baseline: 33.5 fps for yolact_base on a Titan Xp (README.md:72).
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -53,7 +54,9 @@ def main():
         maskiou_vars = MaskIoUHead(cfg).init(
             jax.random.PRNGKey(1), jnp.zeros((1, Hp, Hp, 1), jnp.float32))
 
-    @jax.jit
+    unroll = int(os.environ.get('BENCH_UNROLL', '1'))
+
+    @partial(jax.jit, static_argnums=(1,) if unroll > 1 else ())
     def chained(images, n):
         def body(_, carry):
             img, acc = carry
@@ -66,7 +69,8 @@ def main():
             # serial dependency: fold the result into one input pixel
             img = img.at[0, 0, 0, 0].add(s)
             return img, acc + s
-        _, acc = jax.lax.fori_loop(0, n, body, (images, 0.0))
+        _, acc = jax.lax.fori_loop(0, n, body, (images, 0.0),
+                                   unroll=unroll if unroll > 1 else None)
         return acc
 
     rng = np.random.RandomState(0)
@@ -75,7 +79,9 @@ def main():
                        .astype(np.float32))
 
     t0 = time.perf_counter()
-    _ = float(chained(imgs, 2))  # compile + warmup
+    # with a static trip count (unroll>1) the warmup must use the same n
+    # as the timed call or the timed call recompiles
+    _ = float(chained(imgs, iters if unroll > 1 else 2))
     print(f'# compile+warmup: {time.perf_counter() - t0:.1f}s',
           file=sys.stderr)
 

@@ -34,6 +34,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     dtype = sys.argv[3] if len(sys.argv) > 3 else 'float32'
+    profile_dir = os.environ.get('BENCH_PROFILE_DIR')
 
     cfg = get_config('yolact_base').copy(compute_dtype=dtype)
     model, state = create_train_state(cfg, seed=0)
@@ -71,6 +72,13 @@ def main():
     # previous one (the relay dedups identical async dispatches).
     st, acc = chained(state, data, iters)
     _ = float(acc)
+
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            d = dict(data, image=data['image'] + 1e-7)
+            _, acc2 = chained(state, d, 3)
+            _ = float(acc2)  # completion fence inside the trace
+        print(f'# profile written to {profile_dir}', file=sys.stderr)
 
     times = []
     for rep in range(3):
