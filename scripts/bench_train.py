@@ -6,7 +6,10 @@ methodology as bench.py (this host's relay coalesces identical async
 dispatches, so each iteration folds the previous loss into one input pixel
 to force genuinely serial device execution).
 
-    python scripts/bench_train.py [batch=8] [iters=10] [dtype=float32]
+    python scripts/bench_train.py [batch=8] [iters=10] [dtype=float32] [s2d]
+
+Pass ``s2d`` as the 4th arg to bench with the space-to-depth training stem
+(``cli/train.py --stem_s2d``).
 
 Reference point: the reference trains yolact_base at ~1.7 it/s @ batch 8 on
 one GPU (800k iters / ~5.5 days, README-derived; see README.md perf table).
@@ -36,7 +39,9 @@ def main():
     dtype = sys.argv[3] if len(sys.argv) > 3 else 'float32'
     profile_dir = os.environ.get('BENCH_PROFILE_DIR')
 
-    cfg = get_config('yolact_base').copy(compute_dtype=dtype)
+    stem_s2d = len(sys.argv) > 4 and sys.argv[4] == 's2d'
+    cfg = get_config('yolact_base').copy(compute_dtype=dtype,
+                                         stem_s2d=stem_s2d)
     model, state = create_train_state(cfg, seed=0)
 
     S, G = cfg.max_size, 32
@@ -91,7 +96,8 @@ def main():
 
     dt = sorted(times)[len(times) // 2]
     its = iters / dt
-    print(f'train step b{batch}@{S} {dtype}: {its:.2f} it/s '
+    print(f'train step b{batch}@{S} {dtype}'
+          f'{" s2d" if stem_s2d else ""}: {its:.2f} it/s '
           f'({its * batch:.1f} img/s), median of {len(times)}, '
           f'loss avg {loss:.1f}')
 

@@ -256,7 +256,10 @@ def test_batch_loader_iterates(tiny_eval_setup):
         for batch in loader:
             assert batch['image'].shape == (2, cfg.max_size, cfg.max_size, 3)
             assert batch['gt_boxes'].shape == (2, 8, 4)
-            assert batch['gt_masks'].dtype == np.uint8
+            # masks ship bit-packed by default (8x less transfer)
+            S = cfg.max_size
+            assert batch['gt_masks_packed'].shape == (2, 8, S, -(-S // 8))
+            assert batch['gt_masks_packed'].dtype == np.uint8
             seen += 1
             if seen >= 3:
                 break

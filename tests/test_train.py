@@ -57,6 +57,30 @@ def test_train_steps_reduce_loss(trainer, rng):
     assert int(state.step) == 6
 
 
+def test_packed_masks_bit_roundtrip(rng):
+    from yolact_tpu.ops.bits import pack_bits_last, unpack_bits_last
+    for S in (64, 128, 550):  # non-multiple-of-8 widths included
+        m = (rng.rand(3, 5, S) > 0.5).astype(np.uint8)
+        packed = pack_bits_last(m)
+        assert packed.shape == (3, 5, -(-S // 8))
+        out = np.asarray(jax.jit(
+            lambda p: unpack_bits_last(p, S))(packed))
+        np.testing.assert_array_equal(out, m)
+
+
+def test_packed_masks_train_step_identical(trainer, rng):
+    """Bit-packed gt transport must be invisible to the train step."""
+    from yolact_tpu.data.coco import pack_batch_masks
+    cfg, model, state, step = trainer
+    batch = make_batch(rng, cfg)
+    key = jax.random.PRNGKey(3)
+    _, losses_plain = step(state, batch, key)
+    _, losses_packed = step(state, pack_batch_masks(dict(batch)), key)
+    for k in losses_plain:
+        np.testing.assert_array_equal(np.asarray(losses_plain[k]),
+                                      np.asarray(losses_packed[k]), k)
+
+
 def test_freeze_bn_zeroes_bn_grads(rng):
     from yolact_tpu.train.step import create_train_state, train_step
     cfg = tiny_resnet_config(freeze_bn=True)

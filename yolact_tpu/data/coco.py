@@ -218,6 +218,26 @@ def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100):
                 gt_masks=out_masks, num_gts=n_gts, num_crowds=n_crowds)
 
 
+def pack_batch_masks(batch: dict) -> dict:
+    """Replace a padded batch's ``gt_masks`` with bit-packed
+    ``gt_masks_packed`` [B, max_gt, S, ceil(S/8)] uint8 (8 pixels/byte,
+    np.packbits MSB-first) — 8x less host->device transfer.  Only the
+    valid gt rows are packed (padding rows are already zero).
+    ``train.step.train_step`` unpacks transparently on device
+    (ops/bits.py:unpack_bits_last)."""
+    from yolact_tpu.ops.bits import pack_bits_last, packed_width
+    masks = batch['gt_masks']
+    B, G, S = masks.shape[:3]
+    packed = np.zeros((B, G, S, packed_width(S)), np.uint8)
+    for i, n in enumerate(batch['num_gts']):
+        n = int(n)
+        if n:
+            packed[i, :n] = pack_bits_last(masks[i, :n])
+    out = dict(batch, gt_masks_packed=packed)
+    del out['gt_masks']
+    return out
+
+
 def enforce_size(img, targets, masks, num_crowds, new_w, new_h):
     """Resize (aspect-preserving) + zero-pad an image/gt tuple to exactly
     (new_h, new_w) — host-side util for batching preserve_aspect_ratio

@@ -16,14 +16,14 @@ from typing import Iterator
 
 import numpy as np
 
-from yolact_tpu.data.coco import COCODetection, pad_batch
+from yolact_tpu.data.coco import COCODetection, pack_batch_masks, pad_batch
 
 
 class BatchLoader:
     def __init__(self, dataset: COCODetection, batch_size: int,
                  max_gt: int = 100, shuffle: bool = True,
                  num_workers: int = 2, prefetch: int = 4, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, pack_masks: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -32,6 +32,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.pack_masks = pack_masks
         self._stop = threading.Event()
         self._batch_queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._index_queue: "queue.Queue" = queue.Queue()
@@ -56,6 +57,8 @@ class BatchLoader:
             masks = [it[2] for it in items]
             crowds = [it[5] for it in items]
             batch = pad_batch(imgs, targets, masks, crowds, self.max_gt)
+            if self.pack_masks:
+                batch = pack_batch_masks(batch)
             while not self._stop.is_set():
                 try:
                     self._batch_queue.put(batch, timeout=0.25)

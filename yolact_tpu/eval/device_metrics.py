@@ -112,9 +112,8 @@ def mask_iou_device_packed(pred_masks: jnp.ndarray, gt_packed: jnp.ndarray,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Like :func:`mask_iou_device` but gt arrives bit-packed
     ([Gpad, canvas, canvas/8] uint8, MSB-first like np.packbits)."""
-    shifts = (7 - jnp.arange(8, dtype=jnp.uint8))
-    bits = (gt_packed[..., None] >> shifts) & jnp.uint8(1)
-    gt = bits.reshape(gt_packed.shape[0], canvas, canvas).astype(jnp.float32)
+    from yolact_tpu.ops.bits import unpack_bits_last
+    gt = unpack_bits_last(gt_packed, canvas).astype(jnp.float32)
     return mask_iou_device(pred_masks, gt, h, w, canvas)
 
 

@@ -104,19 +104,10 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     processed = 0
     t_last = time.perf_counter()
 
-    while True:
-        frames = frame_q.get()
-        if frames is None:
-            break
-        batch = np.stack([f.astype(np.float32) for f in frames])
-        # pad the last short batch so the jitted shape stays fixed
-        n_real = len(frames)
-        if n_real < video_multiframe:
-            pad = np.repeat(batch[-1:], video_multiframe - n_real, axis=0)
-            batch = np.concatenate([batch, pad], axis=0)
-
-        out = pipeline(batch)
-        masks_full_dev = upsample(out.masks)
+    def drain(entry):
+        """Fetch a dispatched batch's results and draw/encode its frames."""
+        nonlocal fps, processed, t_last
+        frames, n_real, out, masks_full_dev = entry
         valid = np.asarray(out.valid)
         classes = np.asarray(out.classes)
         scores = np.asarray(out.scores)
@@ -147,6 +138,32 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
                     time.sleep(budget)
 
         print(f'\rProcessing: {processed} frames | {fps:.2f} fps  ', end='')
+
+    # one-batch lookahead: jax dispatch is async, so enqueueing batch N+1
+    # BEFORE fetching batch N's results keeps the chip busy while the host
+    # draws/encodes — the device-side analogue of the reference's 3-stage
+    # ThreadPool overlap (eval.py:799-857)
+    pending = None
+    eof = False
+    while not (eof and pending is None):
+        current = None
+        if not eof:
+            frames = frame_q.get()
+            if frames is None:
+                eof = True
+            else:
+                batch = np.stack([f.astype(np.float32) for f in frames])
+                # pad the last short batch so the jitted shape stays fixed
+                n_real = len(frames)
+                if n_real < video_multiframe:
+                    pad = np.repeat(batch[-1:],
+                                    video_multiframe - n_real, axis=0)
+                    batch = np.concatenate([batch, pad], axis=0)
+                out = pipeline(batch)
+                current = (frames, n_real, out, upsample(out.masks))
+        if pending is not None:
+            drain(pending)
+        pending = current
 
     print()
     stop.set()

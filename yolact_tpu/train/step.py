@@ -93,6 +93,14 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     maskiou_model = MaskIoUHead(cfg) if cfg.use_maskiou else None
     bn_train = not cfg.freeze_bn  # frozen BN never touches batch_stats
 
+    if 'gt_masks_packed' in batch:
+        # gt masks arrive bit-packed (8 pixels/byte) to cut host->device
+        # transfer 8x (data/coco.py:pack_batch_masks); unpack on device
+        from yolact_tpu.ops.bits import unpack_bits_last
+        batch = dict(batch)
+        packed = batch.pop('gt_masks_packed')
+        batch['gt_masks'] = unpack_bits_last(packed, batch['image'].shape[1])
+
     if cfg.use_device_augment:
         from yolact_tpu.data.device_augment import device_augment
         rng, aug_rng = jax.random.split(rng)
