@@ -48,9 +48,13 @@ def main():
     rng = np.random.RandomState(0)
     data = dict(
         image=jnp.asarray(rng.rand(batch, S, S, 3).astype(np.float32)),
-        gt_boxes=jnp.asarray(
-            np.tile(rng.rand(1, G, 4).astype(np.float32) * 0.4 + 0.1,
-                    (batch, 1, 1))),
+        # proper boxes (x1<x2, y1<y2): with 4 independent uniforms some
+        # boxes invert, and the roi-pool-emulating mask-loss normalizer
+        # then divides by a NEGATIVE area -> nonsense negative loss
+        gt_boxes=jnp.asarray(np.tile(np.concatenate([
+            xy := rng.rand(1, G, 2).astype(np.float32) * 0.5 + 0.05,
+            xy + rng.rand(1, G, 2).astype(np.float32) * 0.4 + 0.05,
+        ], axis=-1), (batch, 1, 1))),
         gt_labels=jnp.asarray(
             rng.randint(1, cfg.num_classes, (batch, G)).astype(np.int32)),
         gt_masks=jnp.asarray(

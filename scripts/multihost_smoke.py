@@ -59,9 +59,11 @@ def _global_batch(cfg, batch):
     import numpy as np
     S, G = cfg.max_size, 8
     rng = np.random.RandomState(0)
+    xy = rng.rand(batch, G, 2).astype(np.float32) * 0.5 + 0.05
+    wh = rng.rand(batch, G, 2).astype(np.float32) * 0.4 + 0.05
     return dict(
         image=rng.rand(batch, S, S, 3).astype(np.float32),
-        gt_boxes=(rng.rand(batch, G, 4).astype(np.float32) * 0.4 + 0.1),
+        gt_boxes=np.concatenate([xy, xy + wh], axis=-1),
         gt_labels=rng.randint(1, cfg.num_classes, (batch, G)).astype(np.int32),
         gt_masks=rng.randint(0, 2, (batch, G, S, S)).astype(np.uint8),
         num_gts=np.full(batch, G, np.int32),
