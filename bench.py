@@ -87,7 +87,9 @@ def main():
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            jax.block_until_ready(chained(imgs, 3))
+            # under a static trip count, reuse the warmed-up n — any other
+            # n would recompile inside the trace
+            jax.block_until_ready(chained(imgs, iters if unroll > 1 else 3))
         print(f'# profile written to {profile_dir}', file=sys.stderr)
 
     # fetching the scalar is the completion fence: through the TPU relay,

@@ -139,11 +139,21 @@ def _free_port():
     return port
 
 
-def _spawn(env, timeout):
-    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                         env=env, stdout=subprocess.PIPE,
-                         stderr=subprocess.STDOUT, cwd=REPO, text=True)
-    return p
+def _spawn(env):
+    return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, cwd=REPO, text=True)
+
+
+def _communicate(p, timeout):
+    """communicate() with kill-and-reap on timeout."""
+    try:
+        stdout, _ = p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.wait()
+        stdout = '(timeout)'
+    return stdout
 
 
 def launcher_main():
@@ -172,14 +182,10 @@ def launcher_main():
         out = os.path.join(tmp, f'proc{i}.json')
         outs.append(out)
         env = dict(base_env, MH_PROC_ID=str(i), MH_OUT=out)
-        procs.append(_spawn(env, args.timeout))
+        procs.append(_spawn(env))
     rc = 0
     for i, p in enumerate(procs):
-        try:
-            stdout, _ = p.communicate(timeout=args.timeout)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            stdout = '(timeout)'
+        stdout = _communicate(p, args.timeout)
         if p.returncode != 0:
             print(f'--- proc {i} FAILED (rc={p.returncode}) ---\n{stdout}')
             rc = 1
@@ -193,11 +199,11 @@ def launcher_main():
     env = dict(base_env, MH_PROC_ID='0', MH_NPROCS='1', MH_OUT=ctrl,
                MH_LOCAL_DEVICES=str(args.nprocs * args.local_devices),
                MH_PORT=str(_free_port()))
-    p = _spawn(env, args.timeout)
-    stdout, _ = p.communicate(timeout=args.timeout)
+    p = _spawn(env)
+    stdout = _communicate(p, args.timeout)
     sys.stdout.write(stdout)
     if p.returncode != 0:
-        print('--- single-process control FAILED ---')
+        print(f'--- single-process control FAILED (rc={p.returncode}) ---')
         return 1
 
     results = [json.load(open(o)) for o in outs]

@@ -22,16 +22,10 @@ def main():
     for plane in xs.planes:
         if 'TPU' not in plane.name and 'tpu' not in plane.name.lower():
             continue
-        # line with XLA op events
         totals = defaultdict(float)
         counts = defaultdict(int)
-        meta = {m.id: m.name for m in plane.event_metadata.values()} if \
-            isinstance(plane.event_metadata, dict) else \
-            {k: v.name for k, v in plane.event_metadata.items()}
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
-            if 'XLA Ops' not in line.name and 'Steps' not in line.name \
-                    and line.name != '':
-                pass
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 totals[(line.name, name)] += ev.duration_ps / 1e9  # ms
@@ -44,6 +38,8 @@ def main():
             rows.sort(reverse=True)
             tot = sum(r[0] for r in rows)
             print(f'--- line: {ln}  total {tot:.2f} ms')
+            if tot <= 0:
+                continue
             for ms, c, name in rows[:top_n]:
                 print(f'  {ms:9.3f} ms {100*ms/tot:5.1f}%  x{c:<4d} '
                       f'{name[:110]}')

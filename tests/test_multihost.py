@@ -26,9 +26,13 @@ SCRIPT = os.path.join(REPO, 'scripts', 'multihost_smoke.py')
 def test_multihost_smoke_two_processes():
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)  # workers set their own device counts
+    # the launcher bounds each child at --timeout and kills/reaps on
+    # expiry; worst case here is ~3x500s sequential waits, within the
+    # outer 1800s so pytest never has to TimeoutExpired (which would
+    # orphan the worker grandchildren)
     res = subprocess.run(
         [sys.executable, SCRIPT, '--nprocs', '2', '--local-devices', '2',
-         '--steps', '2'],
+         '--steps', '2', '--timeout', '500'],
         capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
     assert res.returncode == 0, \
         f'stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}'

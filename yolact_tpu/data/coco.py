@@ -227,8 +227,8 @@ def pack_batch_masks(batch: dict) -> dict:
     (ops/bits.py:unpack_bits_last)."""
     from yolact_tpu.ops.bits import pack_bits_last, packed_width
     masks = batch['gt_masks']
-    B, G, S = masks.shape[:3]
-    packed = np.zeros((B, G, S, packed_width(S)), np.uint8)
+    B, G, H, W = masks.shape
+    packed = np.zeros((B, G, H, packed_width(W)), np.uint8)
     for i, n in enumerate(batch['num_gts']):
         n = int(n)
         if n:

@@ -99,7 +99,8 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
         from yolact_tpu.ops.bits import unpack_bits_last
         batch = dict(batch)
         packed = batch.pop('gt_masks_packed')
-        batch['gt_masks'] = unpack_bits_last(packed, batch['image'].shape[1])
+        # masks are packed along their width — image dim 2 (NHWC)
+        batch['gt_masks'] = unpack_bits_last(packed, batch['image'].shape[2])
 
     if cfg.use_device_augment:
         from yolact_tpu.data.device_augment import device_augment
