@@ -183,6 +183,24 @@ def test_evaluate_batched_matches_single(tiny_eval_setup):
     assert m1 == m2
 
 
+def test_evaluate_sharded_matches_single(tiny_eval_setup):
+    """n_devices>1 (batch sharded over the mesh) must give the same mAP."""
+    import jax
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    assert len(jax.devices()) >= 4  # conftest forces 8 virtual CPU devices
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    m1 = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                          eval_batch_size=1)
+    # batch 2 over 4 devices: also exercises the round-up to 4
+    m4 = evaluate_dataset(cfg, variables, dataset, quiet=True,
+                          eval_batch_size=2, n_devices=4)
+    assert m1 == m4
+
+
 def test_evaluate_traditional_nms_end_to_end(tiny_eval_setup):
     """--fast_nms=False runs the greedy host-NMS path through the full
     evaluator (detection.py:182-228 semantics) and yields finite maps."""

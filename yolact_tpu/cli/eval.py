@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument('--eval_batch_size', default=1, type=int,
                    help='device batch for dataset evaluation (TPU '
                         'throughput knob; no reference equivalent)')
+    p.add_argument('--eval_devices', default=1, type=int,
+                   help='shard each eval batch over this many chips '
+                        '(1-D data mesh; 0 = all local devices)')
     p.add_argument('--dataset', default=None, type=str)
     p.add_argument('--detect', default=False, dest='detect',
                    action='store_true',
@@ -202,9 +205,15 @@ def main(argv=None):
         calc_map_from_file(cfg, args.ap_data_file)
         return
     dataset = make_eval_dataset(cfg)
+    if args.eval_devices == 0:
+        import jax
+        n_eval_devices = len(jax.devices())
+    else:
+        n_eval_devices = args.eval_devices
     evaluate_dataset(
         cfg, variables, dataset, maskiou_variables=maskiou_vars,
         eval_batch_size=args.eval_batch_size,
+        n_devices=n_eval_devices,
         max_images=args.max_images, fast_nms=args.fast_nms,
         cross_class_nms=args.cross_class_nms,
         score_threshold=args.score_threshold, crop_masks=args.crop,

@@ -75,8 +75,25 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                      top_k: int = 15,
                      device_mask_iou: Optional[bool] = None,
                      quiet: bool = False,
-                     no_bar: bool = False) -> Optional[Dict]:
-    """Returns the all_maps dict (or None for json/benchmark modes)."""
+                     no_bar: bool = False,
+                     n_devices: int = 1) -> Optional[Dict]:
+    """Returns the all_maps dict (or None for json/benchmark modes).
+
+    ``n_devices > 1`` shards each eval batch over a 1-D device mesh
+    (batch dim over 'data'; XLA SPMD runs the forward data-parallel) —
+    multi-chip dataset evaluation, which the reference's DataParallel
+    only offers for video (eval.py:630-634).  Requires
+    ``eval_batch_size`` divisible by ``n_devices``.
+    """
+    mesh = None
+    if n_devices > 1:
+        import jax as _jax
+        from yolact_tpu.parallel.mesh import batch_sharding, make_mesh
+        if eval_batch_size % n_devices:
+            # round the batch up so every device gets an equal shard
+            eval_batch_size = -(-eval_batch_size // n_devices) * n_devices
+        mesh = make_mesh(_jax.devices()[:n_devices])
+        _batch_sharding = batch_sharding(mesh)
     if fast_nms:
         pipeline = Pipeline(cfg, variables,
                             maskiou_variables=maskiou_variables,
@@ -188,6 +205,9 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                     imgs = np.concatenate(
                         [imgs, np.repeat(imgs[-1:],
                                          eval_batch_size - n_real, 0)])
+                if mesh is not None:
+                    import jax as _jax
+                    imgs = _jax.device_put(imgs, _batch_sharding)
                 out = pipeline(imgs)
                 valid_all = np.asarray(out.valid)
 
