@@ -100,10 +100,20 @@ def main():
 
     dt = sorted(times)[len(times) // 2]
     its = iters / dt
+    peak = ''
+    try:
+        from yolact_tpu.utils.tpuinfo import device_info
+        stats = device_info()[0]
+        if stats.get('peak_bytes_in_use'):
+            peak = (f', peak HBM {stats["peak_bytes_in_use"] / 2**30:.2f}G'
+                    f' ({stats["peak_bytes_in_use"] / 2**30 / batch:.2f}G/img'
+                    f'; reference: ~1.5G/img on GPU, README.md:151)')
+    except Exception:
+        pass
     print(f'train step b{batch}@{S} {dtype}'
           f'{" s2d" if stem_s2d else ""}: {its:.2f} it/s '
           f'({its * batch:.1f} img/s), median of {len(times)}, '
-          f'loss avg {loss:.1f}')
+          f'loss avg {loss:.1f}{peak}')
 
 
 if __name__ == '__main__':
