@@ -1,0 +1,71 @@
+"""Exact lexicographic top-k: order by (value descending, index ascending).
+
+The matcher needs each gt's top-(G+1) candidate priors in exactly the
+order the reference's ``overlaps.max()`` / argmax tie-breaking visits them
+(``layers/box_utils.py:189-207``): highest IoU first, ties resolved to the
+LOWEST prior index.  ``lax.top_k`` guarantees that order but costs a full
+per-segment sort; ``approx_max_k`` is fast but its tie order is arbitrary
+on TPU (and most priors tie at IoU 0 for any given gt, so this matters).
+
+``top_k_lex`` instead runs k passes of a variadic lexicographic
+max-reduce where pass j only considers elements strictly after pass
+j-1's winner in (value desc, index asc) order — no suppression mask is
+materialized, so each pass is one fused bandwidth-bound read of the
+operand.  At the matcher's shape ([8, 32, 19248] -> k=33) this measures
+2.5x faster than the best sort-based scheme tried (segmented two-phase
+top_k + 2-key merge; see NOTES.md) and is bit-identical on ties.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _lex_max(values, indices, axis):
+    """Variadic reduce: max by (value desc, index asc) along ``axis``."""
+    big = jnp.iinfo(indices.dtype).max
+
+    def comb(a, b):
+        av, ai = a
+        bv, bi = b
+        take_a = (av > bv) | ((av == bv) & (ai < bi))
+        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
+
+    return jax.lax.reduce(
+        (values, indices),
+        (jnp.asarray(-jnp.inf, values.dtype), jnp.asarray(big, indices.dtype)),
+        comb, (axis,))
+
+
+def top_k_lex(values, k: int):
+    """Exact top-k of ``values[..., P]`` by (value desc, index asc).
+
+    Returns ``(vals, idx)`` of shape ``[..., k]`` — equal to
+    ``jax.lax.top_k(values, k)`` (which breaks ties by ascending index)
+    but computed as k fused max-reduce passes instead of a sort.
+    """
+    P = values.shape[-1]
+    if k > P:
+        raise ValueError(f'k={k} > last dim {P}')
+    values = jnp.asarray(values)
+    idx = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32), values.shape)
+    batch_shape = values.shape[:-1]
+
+    def body(j, state):
+        vals, idxs, last_v, last_i = state
+        elig = (values < last_v[..., None]) | \
+            ((values == last_v[..., None]) & (idx > last_i[..., None]))
+        mv, mi = _lex_max(jnp.where(elig, values, -jnp.inf),
+                          jnp.where(elig, idx, P), values.ndim - 1)
+        return (jax.lax.dynamic_update_index_in_dim(vals, mv, j, vals.ndim - 1),
+                jax.lax.dynamic_update_index_in_dim(idxs, mi, j, idxs.ndim - 1),
+                mv, mi)
+
+    init = (jnp.zeros(batch_shape + (k,), values.dtype),
+            jnp.zeros(batch_shape + (k,), jnp.int32),
+            jnp.full(batch_shape, jnp.inf, values.dtype),
+            jnp.full(batch_shape, -1, jnp.int32))
+    vals, idxs, _, _ = jax.lax.fori_loop(0, k, body, init)
+    return vals, idxs

@@ -67,27 +67,15 @@ def _match_single(cfg: YolactConfig, gt_boxes, gt_labels, priors, loc_pred):
     # top_k orders ties by ascending index, matching argmax tie-breaks.
     P = overlaps.shape[1]
     K = min(G + 1, P)
-    # Exact top-K in two phases: every true top-K element is within its
-    # segment's top-K, so per-segment top_k (short sorts) + one small
-    # lexicographic merge replaces a full [G,P] sort (profiled 4.6 ms at
-    # b8).  Ties must resolve to the LOWEST prior index to replicate the
-    # reference argmax — the merge sorts by (-value, index) with
-    # num_keys=2, and approx_max_k stays rejected (arbitrary tie order
-    # on TPU breaks parity for all-zero-IoU gts / symmetric anchors).
-    if P > 4 * K:
-        seg = 512
-        S = -(-P // seg)
-        pad = S * seg - P
-        ov_pad = jnp.pad(overlaps, ((0, 0), (0, pad)),
-                         constant_values=-2.0)           # below the -1 rows
-        sv, si = jax.lax.top_k(ov_pad.reshape(G, S, seg), min(K, seg))
-        gi = (si + (jnp.arange(S) * seg)[None, :, None]).reshape(G, -1)
-        sv = sv.reshape(G, -1)
-        neg_sorted, idx_sorted = jax.lax.sort((-sv, gi), num_keys=2)
-        cand_vals = -neg_sorted[:, :K]                   # [G, K]
-        cand_idx = idx_sorted[:, :K]
-    else:
-        cand_vals, cand_idx = jax.lax.top_k(overlaps, K)  # [G, K]
+    # Exact top-K by (IoU desc, prior index asc) — ties must resolve to
+    # the LOWEST prior index to replicate the reference argmax, so
+    # approx_max_k stays rejected (arbitrary tie order on TPU breaks
+    # parity for all-zero-IoU gts / symmetric anchors).  top_k_lex runs
+    # K fused max-reduce passes instead of sorting; at [8,32,19248]->33
+    # it measures 2.5x faster than the best sort-based scheme tried
+    # (segmented two-phase top_k + 2-key merge; NOTES.md).
+    from yolact_tpu.ops.topk import top_k_lex
+    cand_vals, cand_idx = top_k_lex(overlaps, K)         # [G, K]
 
     def body(_, state):
         sm, bto, bti = state
