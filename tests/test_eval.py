@@ -201,6 +201,20 @@ def test_evaluate_sharded_matches_single(tiny_eval_setup):
     assert m1 == m4
 
 
+def test_evaluate_too_many_devices_raises(tiny_eval_setup):
+    import jax
+    import pytest
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    with pytest.raises(ValueError, match='local devices'):
+        evaluate_dataset(cfg, variables, dataset, quiet=True,
+                         n_devices=len(jax.local_devices()) + 1)
+
+
 def test_evaluate_traditional_nms_end_to_end(tiny_eval_setup):
     """--fast_nms=False runs the greedy host-NMS path through the full
     evaluator (detection.py:182-228 semantics) and yields finite maps."""

@@ -207,7 +207,7 @@ def main(argv=None):
     dataset = make_eval_dataset(cfg)
     if args.eval_devices == 0:
         import jax
-        n_eval_devices = len(jax.devices())
+        n_eval_devices = len(jax.local_devices())
     else:
         n_eval_devices = args.eval_devices
     evaluate_dataset(

@@ -82,17 +82,25 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
     ``n_devices > 1`` shards each eval batch over a 1-D device mesh
     (batch dim over 'data'; XLA SPMD runs the forward data-parallel) —
     multi-chip dataset evaluation, which the reference's DataParallel
-    only offers for video (eval.py:630-634).  Requires
-    ``eval_batch_size`` divisible by ``n_devices``.
+    only offers for video (eval.py:630-634).  ``eval_batch_size`` is
+    rounded up to a multiple of ``n_devices`` (logged) so every device
+    gets an equal shard.
     """
     mesh = None
     if n_devices > 1:
         import jax as _jax
         from yolact_tpu.parallel.mesh import batch_sharding, make_mesh
+        local = _jax.local_devices()
+        if n_devices > len(local):
+            raise ValueError(
+                f'--eval_devices={n_devices} but only {len(local)} local '
+                f'devices are attached')
         if eval_batch_size % n_devices:
-            # round the batch up so every device gets an equal shard
-            eval_batch_size = -(-eval_batch_size // n_devices) * n_devices
-        mesh = make_mesh(_jax.devices()[:n_devices])
+            rounded = -(-eval_batch_size // n_devices) * n_devices
+            print(f'eval_batch_size {eval_batch_size} not divisible by '
+                  f'{n_devices} devices; using {rounded}')
+            eval_batch_size = rounded
+        mesh = make_mesh(local[:n_devices])
         _batch_sharding = batch_sharding(mesh)
     if fast_nms:
         pipeline = Pipeline(cfg, variables,

@@ -44,6 +44,11 @@ def top_k_lex(values, k: int):
     Returns ``(vals, idx)`` of shape ``[..., k]`` — equal to
     ``jax.lax.top_k(values, k)`` (which breaks ties by ascending index)
     but computed as k fused max-reduce passes instead of a sort.
+
+    NaN caveat: ``lax.top_k``'s total order treats NaN as maximal;
+    here NaNs are never eligible, and a row with fewer than k non-NaN
+    elements yields (-inf, int32 max) sentinel pairs for the remainder.
+    Callers must not feed NaN (the matcher's IoUs cannot produce one).
     """
     P = values.shape[-1]
     if k > P:

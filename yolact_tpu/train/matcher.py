@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from yolact_tpu.config import YolactConfig
 from yolact_tpu.ops.boxes import (change, decode, encode, jaccard, point_form)
+from yolact_tpu.ops.topk import top_k_lex
 
 
 class MatchResult(NamedTuple):
@@ -74,7 +75,6 @@ def _match_single(cfg: YolactConfig, gt_boxes, gt_labels, priors, loc_pred):
     # K fused max-reduce passes instead of sorting; at [8,32,19248]->33
     # it measures 2.5x faster than the best sort-based scheme tried
     # (segmented two-phase top_k + 2-key merge; NOTES.md).
-    from yolact_tpu.ops.topk import top_k_lex
     cand_vals, cand_idx = top_k_lex(overlaps, K)         # [G, K]
 
     def body(_, state):
