@@ -23,19 +23,19 @@ import jax.numpy as jnp
 
 
 def _lex_max(values, indices, axis):
-    """Variadic reduce: max by (value desc, index asc) along ``axis``."""
-    big = jnp.iinfo(indices.dtype).max
+    """Max by (value desc, index asc) along ``axis``.
 
-    def comb(a, b):
-        av, ai = a
-        bv, bi = b
-        take_a = (av > bv) | ((av == bv) & (ai < bi))
-        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
-
-    return jax.lax.reduce(
-        (values, indices),
-        (jnp.asarray(-jnp.inf, values.dtype), jnp.asarray(big, indices.dtype)),
-        comb, (axis,))
+    Two sibling reduces (max, then min index among the maxima) rather
+    than one variadic ``lax.reduce`` with a tuple combiner: XLA fuses
+    them into a single pass anyway, and the variadic form CHECK-fails
+    XLA:CPU inside SPMD-partitioned programs (observed aborting the
+    spatial-split train test when torch is co-loaded in the process).
+    """
+    big = jnp.asarray(jnp.iinfo(indices.dtype).max, indices.dtype)
+    mv = jnp.max(values, axis=axis)
+    at_max = values == jnp.expand_dims(mv, axis)
+    mi = jnp.min(jnp.where(at_max, indices, big), axis=axis)
+    return mv, mi
 
 
 def top_k_lex(values, k: int):
