@@ -94,6 +94,12 @@ def rle_to_mask(rle: RLEObj) -> np.ndarray:
     h, w = rle['size']
     counts = rle['counts']
     if isinstance(counts, (str, bytes)):
+        native = get_native()
+        if native is not None:
+            # one C++ pass: varint decode + memset runs straight into the
+            # byte mask (no intermediate counts array / np.repeat)
+            s = counts.encode('ascii') if isinstance(counts, str) else counts
+            return native.rle_decode_mask(s, h, w)
         counts = decode_counts(counts)
     counts = np.asarray(counts, np.int64)
     total = int(counts.sum())

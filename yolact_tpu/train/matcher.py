@@ -51,46 +51,73 @@ def _match_single(cfg: YolactConfig, gt_boxes, gt_labels, priors, loc_pred):
         decoded_priors = point_form(priors)
 
     if cfg.use_change_matching:
+        # change values are unbounded below (can sit under the reference's
+        # -1 consumption marker), so the compacted-candidate loop's value
+        # reasoning does not hold — run the reference loop op-for-op on
+        # the full matrix instead.  This mode is a research flag (off in
+        # every named config), so the [G, P] carry cost is irrelevant.
         overlaps = change(gt_boxes, decoded_priors)
+        overlaps = jnp.where(is_truth[:, None], overlaps, -jnp.inf)
+        best_truth_overlap = jnp.max(overlaps, axis=0)   # [P]
+        best_truth_idx = jnp.argmax(overlaps, axis=0)
+        num_truth = jnp.sum(is_truth)
+
+        def body_full(t, state):
+            ov, bto, bti = state
+            j = jnp.argmax(jnp.max(ov, axis=1))
+            i = jnp.argmax(ov[j])
+            # exactly num_objects force-match trips, like the reference's
+            # `for _ in range(overlaps.size(0))` — including its quirk
+            # that a consumed (-1) entry can outrank live ones
+            live = t < num_truth
+            ov = jnp.where(live, ov.at[:, i].set(-1.0).at[j].set(-1.0), ov)
+            bto = jnp.where(live, bto.at[i].set(2), bto)
+            bti = jnp.where(live, bti.at[i].set(j), bti)
+            return ov, bto, bti
+
+        _, best_truth_overlap, best_truth_idx = jax.lax.fori_loop(
+            0, G, body_full,
+            (overlaps, best_truth_overlap, best_truth_idx))
     else:
         overlaps = jaccard(gt_boxes, decoded_priors)     # [G, P]
-    overlaps = jnp.where(is_truth[:, None], overlaps, -1.0)
+        overlaps = jnp.where(is_truth[:, None], overlaps, -1.0)
 
-    best_truth_overlap = jnp.max(overlaps, axis=0)       # [P]
-    best_truth_idx = jnp.argmax(overlaps, axis=0)
+        best_truth_overlap = jnp.max(overlaps, axis=0)   # [P]
+        best_truth_idx = jnp.argmax(overlaps, axis=0)
 
-    # The greedy loop only ever consults each gt's best REMAINING prior,
-    # and every iteration removes exactly one prior globally — so after
-    # G-1 removals a row's best remaining is still within its top-G
-    # candidates.  Compacting [G, P] -> [G, G+1] before the loop keeps
-    # the fori_loop carry tiny (the full-matrix version carried and
-    # copied [G,19248] every trip: profiled ~15% of the b8 train step).
-    # top_k orders ties by ascending index, matching argmax tie-breaks.
-    P = overlaps.shape[1]
-    K = min(G + 1, P)
-    # Exact top-K by (IoU desc, prior index asc) — ties must resolve to
-    # the LOWEST prior index to replicate the reference argmax, so
-    # approx_max_k stays rejected (arbitrary tie order on TPU breaks
-    # parity for all-zero-IoU gts / symmetric anchors).  top_k_lex runs
-    # K fused max-reduce passes instead of sorting; at [8,32,19248]->33
-    # it measures 2.5x faster than the best sort-based scheme tried
-    # (segmented two-phase top_k + 2-key merge; NOTES.md).
-    cand_vals, cand_idx = top_k_lex(overlaps, K)         # [G, K]
+        # The greedy loop only ever consults each gt's best REMAINING
+        # prior, and every iteration removes exactly one prior globally —
+        # so after G-1 removals a row's best remaining is still within
+        # its top-G candidates (sound because IoU >= 0 > the -1
+        # consumption marker).  Compacting [G, P] -> [G, G+1] before the
+        # loop keeps the fori_loop carry tiny (the full-matrix version
+        # carried and copied [G,19248] every trip: profiled ~15% of the
+        # b8 train step).
+        P = overlaps.shape[1]
+        K = min(G + 1, P)
+        # Exact top-K by (IoU desc, prior index asc) — ties must resolve
+        # to the LOWEST prior index to replicate the reference argmax, so
+        # approx_max_k stays rejected (arbitrary tie order on TPU breaks
+        # parity for all-zero-IoU gts / symmetric anchors).  top_k_lex
+        # runs K fused max-reduce passes instead of sorting; at
+        # [8,32,19248]->33 it measures 2x faster than the best
+        # sort-based scheme tried (segmented two-phase top_k; NOTES.md).
+        cand_vals, cand_idx = top_k_lex(overlaps, K)     # [G, K]
 
-    def body(_, state):
-        sm, bto, bti = state
-        best_per_gt = jnp.max(sm, axis=1)                # [G]
-        j = jnp.argmax(best_per_gt)                      # gt with highest IoU
-        i = cand_idx[j, jnp.argmax(sm[j])]               # its best prior
-        live = best_per_gt[j] > -0.5                     # skip padded rows
-        sm = jnp.where(live, jnp.where(cand_idx == i, -1.0, sm), sm)
-        sm = jnp.where(live, sm.at[j].set(-1.0), sm)
-        bto = jnp.where(live, bto.at[i].set(2), bto)
-        bti = jnp.where(live, bti.at[i].set(j), bti)
-        return sm, bto, bti
+        def body(_, state):
+            sm, bto, bti = state
+            best_per_gt = jnp.max(sm, axis=1)            # [G]
+            j = jnp.argmax(best_per_gt)                  # gt w/ highest IoU
+            i = cand_idx[j, jnp.argmax(sm[j])]           # its best prior
+            live = best_per_gt[j] > -0.5                 # skip padded rows
+            sm = jnp.where(live, jnp.where(cand_idx == i, -1.0, sm), sm)
+            sm = jnp.where(live, sm.at[j].set(-1.0), sm)
+            bto = jnp.where(live, bto.at[i].set(2), bto)
+            bti = jnp.where(live, bti.at[i].set(j), bti)
+            return sm, bto, bti
 
-    _, best_truth_overlap, best_truth_idx = jax.lax.fori_loop(
-        0, G, body, (cand_vals, best_truth_overlap, best_truth_idx))
+        _, best_truth_overlap, best_truth_idx = jax.lax.fori_loop(
+            0, G, body, (cand_vals, best_truth_overlap, best_truth_idx))
 
     matches = gt_boxes[best_truth_idx]                   # [P, 4]
     conf = gt_labels[best_truth_idx] + 1                 # [P]
