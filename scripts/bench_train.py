@@ -105,9 +105,13 @@ def main():
         from yolact_tpu.utils.tpuinfo import device_info
         stats = device_info()[0]
         if stats.get('peak_bytes_in_use'):
+            # whole-process peak (params + optimizer + workspace), so the
+            # /img figure amortizes constant state as batch grows; the
+            # reference reports ~1.5 GB VRAM per batch element at 550^2
+            # (reference README "Training" section)
             peak = (f', peak HBM {stats["peak_bytes_in_use"] / 2**30:.2f}G'
                     f' ({stats["peak_bytes_in_use"] / 2**30 / batch:.2f}G/img'
-                    f'; reference: ~1.5G/img on GPU, README.md:151)')
+                    f' incl. constant state; reference: ~1.5G/img on GPU)')
     except Exception:
         pass
     print(f'train step b{batch}@{S} {dtype}'

@@ -49,7 +49,6 @@ def test_train_cli_smoke(tmp_path):
     assert SavePath.from_str(latest2).iteration >= 3
 
 
-@pytest.mark.skipif(jax.device_count() < 8, reason='needs 8 devices')
 def test_train_cli_spatial_split(tmp_path):
     """--spatial_split=4 trains on a 2-D (data x space) mesh.
 
@@ -68,8 +67,12 @@ def test_train_cli_spatial_split(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script.write_text(f"""
 import os, sys
-os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + \
-    ' --xla_force_host_platform_device_count=8'
+# strip any inherited device-count flag (e.g. conftest's) before forcing
+# this process's own 8-device CPU platform
+flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
+         if not f.startswith('--xla_force_host_platform_device_count')]
+os.environ['XLA_FLAGS'] = ' '.join(
+    flags + ['--xla_force_host_platform_device_count=8'])
 import jax
 jax.config.update('jax_platforms', 'cpu')
 sys.path.insert(0, {repo!r}); sys.path.insert(0, {repo!r} + '/tests')

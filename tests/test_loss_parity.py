@@ -323,34 +323,41 @@ def test_matcher_variant_parity(ref, variant):
     ref_yolact, ref_config, ref_box_utils, _ = ref
     flags = {'change': {'use_change_matching': True},
              'prediction': {'use_prediction_matching': True}}[variant]
-    for seed in range(2):
-        rng = np.random.RandomState(seed)
-        sc = random_scene(rng, crowds=0)
-        ref_cfg = ref_config.yolact_base_config.copy(
-            {'num_classes': 5, 'max_size': 128, 'masks_to_train': 100,
-             **flags})
-        ref_config.cfg.replace(ref_cfg)
-        G = sc['gt_boxes'].shape[0]
-        P = sc['priors'].shape[0]
-        loc_t = torch.zeros(1, P, 4)
-        conf_t = torch.zeros(1, P).long()
-        idx_t = torch.zeros(1, P).long()
-        ref_box_utils.match(
-            ref_cfg.positive_iou_threshold, ref_cfg.negative_iou_threshold,
-            torch.from_numpy(sc['gt_boxes']), torch.from_numpy(sc['priors']),
-            torch.from_numpy(sc['gt_labels']).long(), None,
-            loc_t, conf_t, idx_t, 0, torch.from_numpy(sc['loc'][0]))
+    try:
+        for seed in range(2):
+            rng = np.random.RandomState(seed)
+            sc = random_scene(rng, crowds=0)
+            ref_cfg = ref_config.yolact_base_config.copy(
+                {'num_classes': 5, 'max_size': 128, 'masks_to_train': 100,
+                 **flags})
+            ref_config.cfg.replace(ref_cfg)
+            G = sc['gt_boxes'].shape[0]
+            P = sc['priors'].shape[0]
+            loc_t = torch.zeros(1, P, 4)
+            conf_t = torch.zeros(1, P).long()
+            idx_t = torch.zeros(1, P).long()
+            ref_box_utils.match(
+                ref_cfg.positive_iou_threshold,
+                ref_cfg.negative_iou_threshold,
+                torch.from_numpy(sc['gt_boxes']),
+                torch.from_numpy(sc['priors']),
+                torch.from_numpy(sc['gt_labels']).long(), None,
+                loc_t, conf_t, idx_t, 0, torch.from_numpy(sc['loc'][0]))
 
-        cfg = tiny_cfg().copy(**flags)
-        m = our_match(cfg, sc['gt_boxes'][None],
-                      sc['gt_labels'][None].astype(np.int32), sc['priors'],
-                      loc_pred=sc['loc'])
-        np.testing.assert_array_equal(np.asarray(m.conf_t[0]),
-                                      conf_t[0].numpy(),
-                                      err_msg=f'{variant} seed {seed}')
-        mask = conf_t[0].numpy() != 0
-        np.testing.assert_array_equal(np.asarray(m.idx_t[0])[mask],
-                                      idx_t[0].numpy()[mask],
-                                      err_msg=f'{variant} seed {seed}')
-        np.testing.assert_allclose(np.asarray(m.loc_t[0]), loc_t[0].numpy(),
-                                   atol=1e-4, err_msg=f'{variant} {seed}')
+            cfg = tiny_cfg().copy(**flags)
+            m = our_match(cfg, sc['gt_boxes'][None],
+                          sc['gt_labels'][None].astype(np.int32),
+                          sc['priors'], loc_pred=sc['loc'])
+            np.testing.assert_array_equal(np.asarray(m.conf_t[0]),
+                                          conf_t[0].numpy(),
+                                          err_msg=f'{variant} seed {seed}')
+            mask = conf_t[0].numpy() != 0
+            np.testing.assert_array_equal(np.asarray(m.idx_t[0])[mask],
+                                          idx_t[0].numpy()[mask],
+                                          err_msg=f'{variant} seed {seed}')
+            np.testing.assert_allclose(np.asarray(m.loc_t[0]),
+                                       loc_t[0].numpy(),
+                                       atol=1e-4, err_msg=f'{variant} {seed}')
+    finally:
+        # the reference cfg is a module-global shared across test files
+        ref_config.cfg.replace(ref_config.yolact_base_config)

@@ -13,6 +13,7 @@ Semantics notes for checkpoint parity with the PyTorch reference:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -113,13 +114,15 @@ class Conv(nn.Module):
             w = _KernelParam((7, 7, cin, self.features), name='conv')()
             w2 = s2d_stem_kernel(w)
             dt = self.dtype or x.dtype
-            import os
             if os.environ.get('YOLACT_TPU_PALLAS_STEM'):
                 # opt-in: 3x faster than the XLA conv at the op level, but
                 # in-graph the custom-call's layout boundaries cost more
                 # than the kernel saves — see kernels/stem.py docstring
                 from yolact_tpu.kernels.stem import stem_conv_s2d
                 return stem_conv_s2d(x.astype(dt), w2.astype(dt))
+            # must stay identical to kernels/stem.py:_conv_xla — the
+            # Pallas path's custom_vjp differentiates THAT formulation,
+            # so an edit here must be mirrored there
             return jax.lax.conv_general_dilated(
                 x.astype(dt), w2.astype(dt), (1, 1), ((2, 1), (2, 1)),
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

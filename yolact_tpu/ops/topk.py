@@ -45,10 +45,13 @@ def top_k_lex(values, k: int):
     ``jax.lax.top_k(values, k)`` (which breaks ties by ascending index)
     but computed as k fused max-reduce passes instead of a sort.
 
-    NaN caveat: ``lax.top_k``'s total order treats NaN as maximal;
-    here NaNs are never eligible, and a row with fewer than k non-NaN
-    elements yields (-inf, int32 max) sentinel pairs for the remainder.
-    Callers must not feed NaN (the matcher's IoUs cannot produce one).
+    Contract deltas vs ``lax.top_k`` (irrelevant to the matcher, which
+    feeds finite IoUs with ordinary zeros):
+      * NaN: ``lax.top_k``'s total order treats NaN as maximal; here
+        NaNs are never eligible, and a row with fewer than k non-NaN
+        elements yields (-inf, P) sentinel pairs for the remainder.
+      * signed zero: ``lax.top_k`` orders +0.0 before -0.0; here they
+        compare equal and tie-break by ascending index.
     """
     P = values.shape[-1]
     if k > P:
