@@ -1,0 +1,126 @@
+"""Shared-random-stream oracle tests: our augmentation stages vs the
+reference's (utils/augmentations.py).
+
+The reference binds ``from numpy import random`` as a module attribute, so
+we patch ``ref_aug.random`` with a shim over a seeded RandomState whose
+call sequence matches our implementation's draws one-for-one (randint /
+uniform / choice-as-indexed-randint).  With both sides consuming identical
+streams, outputs must match exactly (same numpy/cv2 ops).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from _refutil import import_reference
+
+
+class _RandShim:
+    """numpy.random-module stand-in backed by a RandomState; choice()
+    consumes one randint(len) like our implementations do."""
+
+    def __init__(self, seed):
+        self._r = np.random.RandomState(seed)
+
+    def randint(self, *a, **k):
+        return self._r.randint(*a, **k)
+
+    def uniform(self, *a, **k):
+        return self._r.uniform(*a, **k)
+
+    def choice(self, options):
+        return options[self._r.randint(len(options))]
+
+
+@pytest.fixture(scope='module')
+def ref_aug(ref):
+    import utils.augmentations as ra
+    return ra
+
+
+@pytest.fixture(scope='module')
+def ref():
+    try:
+        return import_reference()
+    except Exception as e:          # pragma: no cover
+        pytest.skip(f'reference unavailable: {e}')
+
+
+def _scene(seed, n=4, h=60, w=80, crowds=1):
+    rng = np.random.RandomState(seed)
+    image = (rng.rand(h, w, 3) * 255).astype(np.float32)
+    masks = (rng.rand(n, h, w) > 0.5).astype(np.float32)
+    xy1 = rng.rand(n, 2) * [w * 0.5, h * 0.5]
+    wh = rng.rand(n, 2) * [w * 0.4, h * 0.4] + 4
+    boxes = np.concatenate([xy1, xy1 + wh], 1).astype(np.float32)
+    labels = np.concatenate([rng.randint(0, 5, n - crowds),
+                             -np.ones(crowds)]).astype(np.float64)
+    return image, masks, boxes, {'labels': labels, 'num_crowds': crowds}
+
+
+def test_expand_oracle(ref_aug):
+    from yolact_tpu.data.augmentations import _expand
+    mean = (103.94, 116.78, 123.68)
+    for seed in range(6):
+        image, masks, boxes, labels = _scene(seed)
+        ref_aug.random = _RandShim(seed)
+        ri, rm, rb, _ = ref_aug.Expand(mean)(
+            image.copy(), masks.copy(), boxes.copy(), dict(labels))
+        oi, om, ob = _expand(np.random.RandomState(seed), image.copy(),
+                             masks.copy(), boxes.copy(), mean)
+        np.testing.assert_array_equal(oi, ri, err_msg=f'seed {seed}')
+        np.testing.assert_array_equal(om, rm)
+        np.testing.assert_array_equal(ob, rb)
+
+
+def test_random_sample_crop_oracle(ref_aug):
+    from yolact_tpu.data.augmentations import _random_sample_crop
+    for seed in range(8):
+        image, masks, boxes, labels = _scene(seed)
+        ref_aug.random = _RandShim(seed)
+        ri, rm, rb, rl = ref_aug.RandomSampleCrop()(
+            image.copy(), masks.copy(), boxes.copy(),
+            dict(labels, labels=labels['labels'].copy()))
+        oi, om, ob, ol = _random_sample_crop(
+            np.random.RandomState(seed), image.copy(), masks.copy(),
+            boxes.copy(), dict(labels, labels=labels['labels'].copy()))
+        np.testing.assert_array_equal(oi, ri, err_msg=f'seed {seed}')
+        np.testing.assert_array_equal(om, rm, err_msg=f'seed {seed}')
+        np.testing.assert_array_equal(ob, rb, err_msg=f'seed {seed}')
+        np.testing.assert_array_equal(ol['labels'], rl['labels'])
+        assert int(ol['num_crowds']) == int(rl['num_crowds'])
+
+
+def test_photometric_oracle(ref_aug):
+    from yolact_tpu.data.augmentations import _photometric_distort
+    for seed in range(8):
+        image, masks, boxes, labels = _scene(seed)
+        ref_aug.random = _RandShim(seed)
+        ri, _, _, _ = ref_aug.PhotometricDistort()(
+            image.copy(), masks, boxes, labels)
+        oi = _photometric_distort(np.random.RandomState(seed), image.copy())
+        np.testing.assert_allclose(oi, ri, rtol=0, atol=1e-4,
+                                   err_msg=f'seed {seed}')
+
+
+def test_mirror_flip_rot90_oracle(ref_aug):
+    from yolact_tpu.data.augmentations import (_random_flip, _random_mirror,
+                                               _random_rot90)
+    pairs = [(ref_aug.RandomMirror(), _random_mirror),
+             (ref_aug.RandomFlip(), _random_flip),
+             (ref_aug.RandomRot90(), _random_rot90)]
+    for seed in range(4):
+        for ref_t, ours in pairs:
+            image, masks, boxes, labels = _scene(seed)
+            ref_aug.random = _RandShim(seed)
+            ri, rm, rb, _ = ref_t(image.copy(), masks.copy(), boxes.copy(),
+                                  labels)
+            oi, om, ob = ours(np.random.RandomState(seed), image.copy(),
+                              masks.copy(), boxes.copy())
+            np.testing.assert_array_equal(oi, ri,
+                                          err_msg=f'{ours.__name__} {seed}')
+            np.testing.assert_array_equal(om, rm)
+            np.testing.assert_array_equal(ob, rb)
