@@ -124,3 +124,32 @@ def test_mirror_flip_rot90_oracle(ref_aug):
                                           err_msg=f'{ours.__name__} {seed}')
             np.testing.assert_array_equal(om, rm)
             np.testing.assert_array_equal(ob, rb)
+
+
+def test_resize_discard_oracle(ref, ref_aug):
+    """Resize + tiny-box discard vs the reference (reads the reference's
+    global cfg for max_size / discard thresholds)."""
+    from yolact_tpu.config import get_config
+    from yolact_tpu.data.augmentations import _resize_and_discard
+    _, ref_config, _, _ = ref
+    cfg = get_config('yolact_base').copy(max_size=128)
+    try:
+        for preserve in (False, True):
+            ref_config.cfg.replace(ref_config.yolact_base_config.copy(
+                {'max_size': 128, 'preserve_aspect_ratio': preserve}))
+            ours_cfg = cfg.copy(preserve_aspect_ratio=preserve)
+            for seed in range(4):
+                image, masks, boxes, labels = _scene(seed)
+                ri, rm, rb, rl = ref_aug.Resize(resize_gt=True)(
+                    image.copy(), masks.copy(), boxes.copy(),
+                    dict(labels, labels=labels['labels'].copy()))
+                oi, om, ob, ol = _resize_and_discard(
+                    ours_cfg, image.copy(), masks.copy(), boxes.copy(),
+                    dict(labels, labels=labels['labels'].copy()))
+                np.testing.assert_array_equal(oi, ri, err_msg=f's{seed}')
+                np.testing.assert_array_equal(om, rm)
+                np.testing.assert_array_equal(ob, rb)
+                np.testing.assert_array_equal(ol['labels'], rl['labels'])
+                assert int(ol['num_crowds']) == int(rl['num_crowds'])
+    finally:
+        ref_config.cfg.replace(ref_config.yolact_base_config)
