@@ -153,3 +153,39 @@ def test_resize_discard_oracle(ref, ref_aug):
                 assert int(ol['num_crowds']) == int(rl['num_crowds'])
     finally:
         ref_config.cfg.replace(ref_config.yolact_base_config)
+
+
+def test_ssd_augmentation_end_to_end_oracle(ref, ref_aug):
+    """The full training pipeline vs the reference under a shared random
+    stream: glue, stage order, gating (incl. flip-gates-rot90), padding,
+    percent-coord round trips, BackboneTransform."""
+    from yolact_tpu.config import get_config
+    from yolact_tpu.data import augmentations as ours_aug
+    _, ref_config, _, _ = ref
+    cfg = get_config('yolact_base').copy(max_size=128,
+                                         augment_random_flip=True)
+    try:
+        ref_config.cfg.replace(ref_config.yolact_base_config.copy(
+            {'max_size': 128, 'augment_random_flip': True}))
+        for seed in range(6):
+            image, masks, boxes, labels = _scene(seed)
+            rel = boxes.copy()
+            rel[:, [0, 2]] /= image.shape[1]
+            rel[:, [1, 3]] /= image.shape[0]
+            ref_aug.random = _RandShim(seed)
+            ri, rm, rb, rl = ref_aug.SSDAugmentation()(
+                image.copy(), masks.copy(), rel.copy(),
+                dict(labels, labels=labels['labels'].copy()))
+            ours = ours_aug.SSDAugmentation(
+                cfg, rng=np.random.RandomState(seed))
+            oi, om, ob, ol = ours(image.copy(), masks.copy(), rel.copy(),
+                                  dict(labels, labels=labels['labels'].copy()))
+            np.testing.assert_allclose(oi, ri, rtol=0, atol=1e-4,
+                                       err_msg=f'seed {seed}')
+            np.testing.assert_array_equal(om, rm, err_msg=f'seed {seed}')
+            np.testing.assert_allclose(ob, rb, rtol=0, atol=1e-6,
+                                       err_msg=f'seed {seed}')
+            np.testing.assert_array_equal(ol['labels'], rl['labels'])
+            assert int(ol['num_crowds']) == int(rl['num_crowds'])
+    finally:
+        ref_config.cfg.replace(ref_config.yolact_base_config)
