@@ -106,16 +106,17 @@ def finish_masks(masks_np: np.ndarray, w: int, h: int,
                  score_mask: Optional[np.ndarray] = None) -> np.ndarray:
     """Host: upsample proto-res masks [D, Hp, Wp] to [D, h, w] bool.
 
-    cv2 INTER_LINEAR matches torch bilinear align_corners=False
-    (output_utils.py:91-94).
+    Uses the torch-exact separable bilinear (ops/resize.py) — cv2
+    INTER_LINEAR's fixed-point arithmetic flips ~4% of binarized pixels
+    near the 0.5 threshold vs the reference's F.interpolate
+    (output_utils.py:91-94); the matmul form matches it
+    (tests/test_postprocess_oracle.py).
     """
-    import cv2
-    D = masks_np.shape[0]
-    out = np.zeros((D, h, w), dtype=bool)
-    for i in range(D):
-        if score_mask is not None and not score_mask[i]:
-            continue
-        up = cv2.resize(masks_np[i].astype(np.float32), (w, h),
-                        interpolation=cv2.INTER_LINEAR)
-        out[i] = up > 0.5
-    return out
+    from yolact_tpu.ops.resize import resize_bilinear_torch_np
+    masks_np = np.asarray(masks_np, np.float32)
+    if score_mask is not None:
+        masks_np = np.where(np.asarray(score_mask)[:, None, None],
+                            masks_np, 0.0)
+    if masks_np.shape[0] == 0:
+        return np.zeros((0, h, w), dtype=bool)
+    return resize_bilinear_torch_np(masks_np, (h, w)) > 0.5

@@ -48,3 +48,16 @@ def resize_bilinear_torch(x: jnp.ndarray, size) -> jnp.ndarray:
     x = jnp.einsum('pw,...hw->...hp', ww, x,
                    preferred_element_type=jnp.float32)
     return x
+
+
+def resize_bilinear_torch_np(x: np.ndarray, size) -> np.ndarray:
+    """Numpy twin of :func:`resize_bilinear_torch` for host-side code
+    (same precomputed 2-banded matrices; BLAS matmuls)."""
+    h_out, w_out = size
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    if (h_in, w_in) == (h_out, w_out):
+        return np.asarray(x, np.float32)
+    wh = _weights(h_in, h_out)
+    ww = _weights(w_in, w_out)
+    x = np.einsum('oh,...hw->...ow', wh, np.asarray(x, np.float32))
+    return np.einsum('pw,...hw->...hp', ww, x)
