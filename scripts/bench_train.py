@@ -40,8 +40,9 @@ def main():
     profile_dir = os.environ.get('BENCH_PROFILE_DIR')
 
     stem_s2d = len(sys.argv) > 4 and sys.argv[4] == 's2d'
-    cfg = get_config('yolact_base').copy(compute_dtype=dtype,
-                                         stem_s2d=stem_s2d)
+    config_name = os.environ.get('BENCH_TRAIN_CONFIG', 'yolact_base')
+    cfg = get_config(config_name).copy(compute_dtype=dtype,
+                                       stem_s2d=stem_s2d)
     model, state = create_train_state(cfg, seed=0)
 
     S, G = cfg.max_size, 32
@@ -114,7 +115,7 @@ def main():
                     f' incl. constant state; reference: ~1.5G/img on GPU)')
     except Exception:
         pass
-    print(f'train step b{batch}@{S} {dtype}'
+    print(f'train step {config_name} b{batch}@{S} {dtype}'
           f'{" s2d" if stem_s2d else ""}: {its:.2f} it/s '
           f'({its * batch:.1f} img/s), median of {len(times)}, '
           f'loss avg {loss:.1f}{peak}')
