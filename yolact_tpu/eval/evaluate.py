@@ -17,6 +17,7 @@ import random as _random
 import threading
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 
 from yolact_tpu.config import YolactConfig
@@ -88,17 +89,17 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
     """
     mesh = None
     if n_devices > 1:
-        import jax as _jax
         from yolact_tpu.parallel.mesh import batch_sharding, make_mesh
-        local = _jax.local_devices()
+        local = jax.local_devices()
         if n_devices > len(local):
             raise ValueError(
                 f'--eval_devices={n_devices} but only {len(local)} local '
                 f'devices are attached')
         if eval_batch_size % n_devices:
             rounded = -(-eval_batch_size // n_devices) * n_devices
-            print(f'eval_batch_size {eval_batch_size} not divisible by '
-                  f'{n_devices} devices; using {rounded}')
+            if not quiet:
+                print(f'eval_batch_size {eval_batch_size} not divisible by '
+                      f'{n_devices} devices; using {rounded}')
             eval_batch_size = rounded
         mesh = make_mesh(local[:n_devices])
         _batch_sharding = batch_sharding(mesh)
@@ -112,14 +113,13 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
         # traditional greedy NMS path: device does forward+decode+softmax,
         # the per-class O(n^2) suppression runs in the native C++ lib and
         # mask assembly on the host (detection.py:182-228 semantics)
-        import jax as _jax
         from functools import partial as _partial
         from yolact_tpu.infer import forward_raw
         from yolact_tpu.models.yolact import Yolact as _Yolact
         from yolact_tpu.eval.traditional import (host_assemble_masks,
                                                  traditional_nms)
         _model = _Yolact(cfg)
-        raw_fn = _jax.jit(_partial(forward_raw, cfg, _model,
+        raw_fn = jax.jit(_partial(forward_raw, cfg, _model,
                                    preprocess=False))
 
         class _TraditionalPipeline:
@@ -214,8 +214,7 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                         [imgs, np.repeat(imgs[-1:],
                                          eval_batch_size - n_real, 0)])
                 if mesh is not None:
-                    import jax as _jax
-                    imgs = _jax.device_put(imgs, _batch_sharding)
+                    imgs = jax.device_put(imgs, _batch_sharding)
                 out = pipeline(imgs)
                 valid_all = np.asarray(out.valid)
 

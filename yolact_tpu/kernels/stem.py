@@ -111,11 +111,15 @@ def stem_conv_s2d_pallas(x, w2, interpret: bool = False):
 
 @jax.custom_vjp
 def stem_conv_s2d(x, w2):
-    """s2d stem conv: Pallas on TPU, XLA elsewhere; XLA-conv gradients."""
-    import jax.extend.backend
-    if jax.extend.backend.get_backend().platform == 'tpu':
-        return stem_conv_s2d_pallas(x, w2)
-    return _conv_xla(x, w2)
+    """s2d stem conv: Pallas on TPU, XLA elsewhere; XLA-conv gradients.
+
+    Per-platform lowering via ``lax.platform_dependent`` (not a trace-time
+    backend check) so a multi-platform AOT export (--platforms=tpu,cpu)
+    gets the Pallas body only in its TPU lowering."""
+    return jax.lax.platform_dependent(
+        x, w2,
+        tpu=lambda a, b: stem_conv_s2d_pallas(a, b),
+        default=_conv_xla)
 
 
 def _fwd(x, w2):

@@ -64,24 +64,35 @@ def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.array(devices).reshape(data, space), ('data', 'space'))
 
 
+# Height-dim position per batch key for spatial partitioning: images are
+# NHWC (H at dim 1); per-object masks — packed or not — are [B, G, H, ...]
+# (H at dim 2).  Keyed by name, not by shape: a shape heuristic misfires
+# when bit-packed mask widths collide with channel counts.
+_SPATIAL_SPECS = {
+    'image': (P('data', 'space'), 1),
+    'gt_masks': (P('data', None, 'space'), 2),
+    'gt_masks_packed': (P('data', None, 'space'), 2),
+}
+
+
 def shard_batch_spatial(mesh: Mesh, batch: Any) -> Any:
     """Place a train/eval batch on a 2-D mesh: every array's dim 0 (batch)
-    over 'data'; the height dim of images [B,H,W,C] and per-object masks
-    [B,G,H,W] over 'space'.  Height must divide by the 'space' axis size."""
+    over 'data'; the height dim of images and per-object masks over
+    'space'.  Height must divide by the 'space' axis size.  ``batch`` is
+    either the batch dict (specs keyed by name) or a bare [B,H,W,C] image
+    array (sharded with the image spec)."""
     space = mesh.shape['space']
 
-    def put(x):
+    def put(key, x):
         x = np.asarray(x) if not hasattr(x, 'ndim') else x
-        if x.ndim == 4:
-            if x.shape[-1] in (1, 3):                  # image NHWC
-                spec, h = P('data', 'space'), x.shape[1]
-            else:                                      # gt_masks [B,G,H,W]
-                spec, h = P('data', None, 'space'), x.shape[2]
+        spec, h_dim = _SPATIAL_SPECS.get(key, (P('data'), None))
+        if h_dim is not None:
+            h = x.shape[h_dim]
             if h % space:
-                raise ValueError(f'height {h} not divisible by '
+                raise ValueError(f'{key} height {h} not divisible by '
                                  f'space={space}')
-        else:
-            spec = P('data')
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, batch)
+    if hasattr(batch, 'items'):
+        return {k: put(k, v) for k, v in batch.items()}
+    return put('image', batch)

@@ -49,9 +49,14 @@ def save_checkpoint(state, path: str) -> None:
 
 
 def load_checkpoint(path: str, state):
-    """Restore a TrainState template from a .ckpt (or import a .pth)."""
+    """Restore a TrainState template from a .ckpt.  For ``.pth`` imports,
+    load weights via :func:`load_weights` and graft them into a fresh state
+    (the reference never saves optimizer state in .pth — cli/train.py does
+    exactly that on --resume=<file>.pth)."""
     if path.endswith('.pth'):
-        return load_pth_into_state(path, state)
+        raise ValueError(
+            '.pth files hold weights only; use load_weights(cfg, path) '
+            'and state.replace(params=...) as cli/train.py does')
     with open(path, 'rb') as f:
         blob = serialization.msgpack_restore(f.read())
     target = _to_state_dict(state)
@@ -87,13 +92,6 @@ def load_weights(cfg: YolactConfig, path: str) -> Dict:
         return variables
     with open(path, 'rb') as f:
         return serialization.msgpack_restore(f.read())
-
-
-def load_pth_into_state(path: str, state):
-    from yolact_tpu.convert.torch_import import load_reference_weights
-    # cfg is only needed for architecture metadata; infer from state tree
-    raise NotImplementedError(
-        'Use load_weights(cfg, path) + state.replace(params=...) for .pth')
 
 
 def resolve_resume(resume: str, save_folder: str, config_name: str

@@ -96,11 +96,18 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     if 'gt_masks_packed' in batch:
         # gt masks arrive bit-packed (8 pixels/byte) to cut host->device
         # transfer 8x (data/coco.py:pack_batch_masks); unpack on device
-        from yolact_tpu.ops.bits import unpack_bits_last
+        from yolact_tpu.ops.bits import packed_width, unpack_bits_last
         batch = dict(batch)
         packed = batch.pop('gt_masks_packed')
-        # masks are packed along their width — image dim 2 (NHWC)
-        batch['gt_masks'] = unpack_bits_last(packed, batch['image'].shape[2])
+        # masks are packed along their width — image dim 2 (NHWC); the
+        # unpack target width comes from the image, so catch any future
+        # mask-canvas/image-width divergence loudly instead of silently
+        # truncating or zero-extending
+        W = batch['image'].shape[2]
+        assert packed.shape[-1] == packed_width(W), (
+            f'packed gt-mask width {packed.shape[-1]} != packed_width({W})'
+            f'={packed_width(W)}; mask canvas no longer equals image width')
+        batch['gt_masks'] = unpack_bits_last(packed, W)
 
     if cfg.use_device_augment:
         from yolact_tpu.data.device_augment import device_augment
