@@ -330,3 +330,22 @@ def test_evaluate_stem_s2d_matches_plain(tiny_eval_setup):
     m2 = evaluate_dataset(cfg.copy(stem_s2d=True), variables, dataset,
                           quiet=True)
     assert m1 == m2
+
+
+def test_evaluate_direct_mask_end_to_end(tiny_eval_setup):
+    """mask_type=0 (direct) configs run through the full eval pipeline:
+    no prototype branch, box-local mask patches upscaled on the host
+    (output_utils.py:101-120 semantics)."""
+    from yolact_tpu.config import MaskType
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    cfg = cfg.copy(mask_type=MaskType.DIRECT, mask_size=16)
+    assert cfg.mask_dim == 256
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    maps = evaluate_dataset(cfg, variables, dataset, quiet=True)
+    assert set(maps.keys()) == {'box', 'mask'}
+    assert np.isfinite(maps['box']['all'])
+    assert np.isfinite(maps['mask']['all'])

@@ -117,7 +117,10 @@ def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
     conf = pred_outs['conf'].astype(jnp.float32)
     coeffs = pred_outs['mask'].astype(jnp.float32)
     priors = pred_outs['priors'].astype(jnp.float32)
-    proto = pred_outs['proto'].astype(jnp.float32)
+    # direct-mask configs (mask_type=0) have no prototype branch; the
+    # 'mask' field then holds flattened mask_size^2 sigmoid masks
+    proto = pred_outs['proto'].astype(jnp.float32) \
+        if 'proto' in pred_outs else None
 
     # eval-branch score transform (yolact.py:650-674)
     if cfg.use_focal_loss:

@@ -42,6 +42,19 @@ def postprocess_device(cfg: YolactConfig, dets: Detections,
     proto = dets.proto            # [B, Hp, Wp, Md]
     coeffs = dets.masks           # [B, D, Md]
 
+    if cfg.mask_type == MaskType.DIRECT or proto is None:
+        # direct masks (mask_type=0): the head's mask output IS the mask —
+        # mask_size^2 sigmoid values per detection, no prototype
+        # combination and no crop (output_utils.py:101-120 upscales them
+        # into the box on the host — finish_masks_direct)
+        B, D = coeffs.shape[:2]
+        S = cfg.mask_size
+        masks = coeffs.reshape(B, D, S, S)
+        valid = dets.valid
+        if score_threshold > 0:
+            valid = valid & (dets.scores > score_threshold)
+        return masks, dets._replace(valid=valid)
+
     if use_pallas is None:
         import jax.extend.backend
         use_pallas = jax.extend.backend.get_backend().platform == 'tpu'
@@ -120,3 +133,30 @@ def finish_masks(masks_np: np.ndarray, w: int, h: int,
     if masks_np.shape[0] == 0:
         return np.zeros((0, h, w), dtype=bool)
     return resize_bilinear_torch_np(masks_np, (h, w)) > 0.5
+
+
+def finish_masks_direct(masks_np: np.ndarray, boxes_abs: np.ndarray,
+                        w: int, h: int) -> np.ndarray:
+    """Host: upscale direct masks into their boxes (mask_type=0 branch of
+    the reference postprocess, output_utils.py:101-120).
+
+    ``masks_np`` [D, S, S] sigmoid mask patches, ``boxes_abs`` [D, 4]
+    sanitized absolute integer boxes.  Each patch is bilinearly resized
+    (align_corners=False, torch-exact) to its box size, binarized at 0.5,
+    and pasted into a zero [h, w] canvas.  Degenerate boxes are skipped,
+    matching the reference's in-place guard.
+    """
+    from yolact_tpu.ops.resize import resize_bilinear_torch_np
+    masks_np = np.asarray(masks_np, np.float32)
+    boxes_abs = np.asarray(boxes_abs)
+    D = masks_np.shape[0]
+    full = np.zeros((D, h, w), dtype=bool)
+    for j in range(D):
+        x1, y1, x2, y2 = (int(v) for v in boxes_abs[j])
+        mask_w, mask_h = x2 - x1, y2 - y1
+        if mask_w * mask_h <= 0 or mask_w < 0:
+            continue
+        patch = resize_bilinear_torch_np(masks_np[j:j + 1],
+                                         (mask_h, mask_w))[0]
+        full[j, y1:y2, x1:x2] = patch > 0.5
+    return full

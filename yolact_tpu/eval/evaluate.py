@@ -20,10 +20,10 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from yolact_tpu.config import YolactConfig
+from yolact_tpu.config import MaskType, YolactConfig
 from yolact_tpu.data.augmentations import BaseTransform
 from yolact_tpu.data.coco import COCODetection
-from yolact_tpu.detect.postprocess import finish_masks
+from yolact_tpu.detect.postprocess import finish_masks, finish_masks_direct
 from yolact_tpu.eval.coco_json import DetectionsWriter
 from yolact_tpu.eval.evaluator import (badhash, calc_map, make_ap_data,
                                        prep_metrics)
@@ -175,7 +175,10 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
         import jax.extend.backend
         device_mask_iou = (jax.extend.backend.get_backend().platform
                            == 'tpu')
-    use_dev_miou = (device_mask_iou and compute_map and not display)
+    # the device metrics path upsamples canvas-global proto-res masks;
+    # direct masks (mask_type=0) are box-local patches, host path only
+    use_dev_miou = (device_mask_iou and compute_map and not display
+                    and cfg.mask_type == MaskType.LINCOMB)
     if use_dev_miou:
         from yolact_tpu.eval.device_metrics import (dataset_canvas_size,
                                                     gt_to_canvas_packed,
@@ -262,6 +265,10 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                         miou_full = np.asarray(miou_d)[:n]
                         crowd_full = np.asarray(crowd_d)[:n]
                         areas = np.asarray(pa_d)[:n]
+                    elif cfg.mask_type == MaskType.DIRECT:
+                        patches = np.asarray(out.masks[bi])[:n]
+                        masks_full = finish_masks_direct(patches, boxes_abs,
+                                                         w, h)
                     else:
                         proto_masks = np.asarray(out.masks[bi])[:n]
                         masks_full = finish_masks(proto_masks, w, h)
