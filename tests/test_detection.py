@@ -146,6 +146,38 @@ def test_candidate_pruning_exact_when_few_candidates(rng):
                                   np.asarray(d1.classes[0])[v])
 
 
+def test_candidate_pruning_exact_when_crowded(rng):
+    """When MORE than nms_candidates priors pass the confidence threshold
+    (the case where pruning could drop real candidates), the runtime
+    fallback must route the batch through the unpruned tail — results
+    identical to nms_candidates=0 bit for bit."""
+    cfg0 = C.get_config('yolact_base').copy(num_classes=6, nms_candidates=0)
+    cfg1 = cfg0.copy(nms_candidates=64)
+    P, Md = 500, 8
+    priors = np.concatenate([rng.rand(P, 2), rng.rand(P, 2) * 0.2 + 0.05],
+                            axis=1).astype(np.float32)
+    # 200 > 64 priors confidently foreground => premise violated
+    conf = np.zeros((1, P, 6), np.float32)
+    conf[..., 0] = 8.0
+    hot = rng.choice(P, 200, replace=False)
+    conf[0, hot, 0] = 0.0
+    conf[0, hot, 1 + (hot % 5)] = 6.0 + rng.rand(200).astype(np.float32)
+    loc = (rng.randn(1, P, 4) * 0.3).astype(np.float32)
+    coeffs = rng.randn(1, P, Md).astype(np.float32)
+    proto = rng.rand(1, 16, 16, Md).astype(np.float32)
+    preds = dict(loc=jnp.asarray(loc), conf=jnp.asarray(conf),
+                 mask=jnp.asarray(coeffs), priors=jnp.asarray(priors),
+                 proto=jnp.asarray(proto))
+    d0 = detect(cfg0, preds)
+    d1 = detect(cfg1, preds)
+    np.testing.assert_array_equal(np.asarray(d0.valid), np.asarray(d1.valid))
+    np.testing.assert_array_equal(np.asarray(d0.scores), np.asarray(d1.scores))
+    np.testing.assert_array_equal(np.asarray(d0.boxes), np.asarray(d1.boxes))
+    np.testing.assert_array_equal(np.asarray(d0.classes),
+                                  np.asarray(d1.classes))
+    np.testing.assert_array_equal(np.asarray(d0.masks), np.asarray(d1.masks))
+
+
 def test_cc_fast_nms_matches_emulation(rng):
     """Class-collapsed fast NMS vs a numpy emulation (detection.py:111-135)."""
     cfg = C.get_config('yolact_base').copy(num_classes=6, nms_candidates=0)

@@ -397,8 +397,12 @@ class YolactConfig:
     # Compute dtype for the conv trunk; params always stay float32.
     compute_dtype: str = 'float32'
     # Detection candidate pruning: keep the top-N priors by best class
-    # score before the per-class NMS sorts (0 = disabled = exact reference
-    # semantics).  Exact whenever <= N priors pass nms_conf_thresh.
+    # score before the per-class NMS sorts (0 = disables the fast path).
+    # EXACT reference semantics either way: detect() counts the priors
+    # passing nms_conf_thresh at runtime and lax.cond-falls back to the
+    # unpruned tail for any batch where more than N pass, so the pruned
+    # path only ever runs when it is provably lossless
+    # (detect/detection.py; crowded-image oracle in test_detect_oracle.py).
     nms_candidates: int = 1024
     # Run SSD augmentation on device inside the jitted train step
     # (data/device_augment.py) — needed when the host cannot feed the chip.

@@ -151,29 +151,63 @@ def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
 
     boxes = decode(loc, priors[None], cfg.use_yolo_regressors)  # [B, P, 4]
 
-    # Candidate pruning (TPU optimisation, cfg.nms_candidates): keep only
-    # the top-N priors by best class score before the per-class sorts.
-    # Exact whenever <= N priors pass conf_thresh (the typical case by a
-    # wide margin); the per-class top-k then works on [C-1, N] instead of
-    # [C-1, 19248], removing most of the detection-stage sort cost.
-    n_cand = getattr(cfg, 'nms_candidates', 0)
-    if n_cand and n_cand < scores_all.shape[-1]:
-        # approx_max_k at recall 1.0: exact candidate CONTENT via partial
-        # reduce (no full sort); candidate order is irrelevant here — the
-        # per-class top_k downstream re-sorts by class score
-        _, keep_idx = jax.lax.approx_max_k(
-            best, n_cand, recall_target=1.0)                  # [B, N]
-        scores_all = jnp.take_along_axis(
-            scores_all, keep_idx[:, None, :], axis=2)
-        boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
-        coeffs = jnp.take_along_axis(coeffs, keep_idx[..., None], axis=1)
-
     if use_cross_class_nms:
         fn = lambda b, c, s: _cc_fast_nms_single(cfg, b, c, s)
     else:
         fn = lambda b, c, s: _fast_nms_single(cfg, b, c, s, second_threshold)
-    out_boxes, out_coeffs, classes, scores, valid = jax.vmap(fn)(
-        boxes, coeffs, scores_all)
+
+    def nms_tail(args):
+        b, c, s = args
+        return jax.vmap(fn)(b, c, s)
+
+    # Candidate pruning (TPU optimisation, cfg.nms_candidates): keep only
+    # the top-N priors by best class score before the per-class sorts, so
+    # the per-class top-k works on [C-1, N] instead of [C-1, 19248] —
+    # removing most of the detection-stage sort cost.  The pruning is
+    # lossless whenever <= N priors pass conf_thresh (the typical case by
+    # a wide margin); to make the semantics EXACT unconditionally, the
+    # candidate count is checked at runtime and a batch-level lax.cond
+    # falls back to the unpruned tail when any image exceeds N.  The cond
+    # predicate is a scalar, so under jit only the selected branch
+    # executes (unlike a vmapped per-image cond, which would compute
+    # both).
+    n_cand = getattr(cfg, 'nms_candidates', 0)
+    if n_cand and n_cand < scores_all.shape[-1]:
+        def pruned_tail(args):
+            b, c, s = args
+            # approx_max_k at recall 1.0: exact candidate CONTENT via
+            # partial reduce (no full sort); candidate order is
+            # irrelevant here — the per-class top_k downstream re-sorts
+            # by class score
+            _, keep_idx = jax.lax.approx_max_k(
+                best, n_cand, recall_target=1.0)              # [B, N]
+            s = jnp.take_along_axis(s, keep_idx[:, None, :], axis=2)
+            b = jnp.take_along_axis(b, keep_idx[..., None], axis=1)
+            c = jnp.take_along_axis(c, keep_idx[..., None], axis=1)
+            ob, oc, cl, sc, va = jax.vmap(fn)(b, c, s)
+            # with very small N the per-class flatten yields fewer than
+            # max_num_detections slots; pad with invalid entries so both
+            # cond branches agree in shape (score sentinel -1 == the full
+            # tail's own padding for absent detections)
+            d_full, d_here = full_shapes[3][1], sc.shape[1]
+            if d_here < d_full:
+                pad = ((0, 0), (0, d_full - d_here))
+                ob = jnp.pad(ob, pad + ((0, 0),))
+                oc = jnp.pad(oc, pad + ((0, 0),))
+                cl = jnp.pad(cl, pad)
+                sc = jnp.pad(sc, pad, constant_values=-1.0)
+                va = jnp.pad(va, pad)
+            return ob, oc, cl, sc, va
+
+        full_shapes = [o.shape for o in jax.eval_shape(
+            nms_tail, (boxes, coeffs, scores_all))]
+        max_cand = jnp.max(jnp.sum(cand, axis=1))
+        out_boxes, out_coeffs, classes, scores, valid = jax.lax.cond(
+            max_cand <= n_cand, pruned_tail, nms_tail,
+            (boxes, coeffs, scores_all))
+    else:
+        out_boxes, out_coeffs, classes, scores, valid = nms_tail(
+            (boxes, coeffs, scores_all))
 
     return Detections(out_boxes, out_coeffs, classes.astype(jnp.int32),
                       scores, valid, proto)

@@ -56,8 +56,11 @@ def postprocess_device(cfg: YolactConfig, dets: Detections,
         return masks, dets._replace(valid=valid)
 
     if use_pallas is None:
+        import os
+
         import jax.extend.backend
-        use_pallas = jax.extend.backend.get_backend().platform == 'tpu'
+        use_pallas = (jax.extend.backend.get_backend().platform == 'tpu'
+                      and not os.environ.get('YOLACT_TPU_NO_PALLAS_MASKS'))
     use_pallas = (use_pallas and crop_masks and cfg.mask_proto_crop
                   and cfg.mask_proto_mask_activation == 'sigmoid')
 
