@@ -136,3 +136,54 @@ def test_stem_s2d_rejected_for_non_resnet():
     with _pytest.raises(ValueError):
         Yolact(cfg).init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 64, 64, 12)), train=False)
+
+
+def test_vgg16_named_config_pipeline():
+    """The named yolact_vgg16 config (SSD arrangement, no FPN, per-level
+    heads) runs end-to-end through Pipeline.  Reduced resolution for CPU
+    speed; 300 keeps all six SSD levels non-degenerate (38/19/10/5/3/1)."""
+    from yolact_tpu.config import get_config
+    from yolact_tpu.infer import Pipeline, random_variables
+
+    cfg = get_config('yolact_vgg16').copy(max_size=300)
+    assert cfg.num_heads == 6
+    assert cfg.proto_in_channels == 512   # stride-8 VGG stage feeds protonet
+    variables = random_variables(cfg)
+    pipe = Pipeline(cfg, variables)
+    out = pipe(np.random.RandomState(0).randint(
+        0, 256, (1, 300, 300, 3)).astype(np.float32))
+    assert out.boxes.shape == (1, cfg.max_num_detections, 4)
+    assert np.all(np.isfinite(np.asarray(out.boxes)))
+    assert np.all(np.isfinite(np.asarray(out.scores)))
+
+
+def test_preprocess_device_channel_orders():
+    """Device preprocess reproduces BackboneTransform for every channel
+    order (augmentations.py:566-596): normalize in BGR space, permute
+    after.  The reference's own FastBaseTransform raises for non-RGB
+    (augmentations.py:652-653); this path serves BGR-trained weights too."""
+    from yolact_tpu.config import MEANS, STD, TransformConfig, get_config
+    from yolact_tpu.infer import preprocess_device
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.float32)  # BGR
+    base = get_config('yolact_base').copy(max_size=32)
+    for order in ('RGB', 'BGR', 'GRB'):
+        for mode in ('normalize', 'subtract_means', 'to_float'):
+            t = TransformConfig(channel_order=order,
+                                normalize=mode == 'normalize',
+                                subtract_means=mode == 'subtract_means',
+                                to_float=mode == 'to_float')
+            cfg = base.copy(backbone=base.backbone.copy(transform=t))
+            got = np.asarray(preprocess_device(cfg, jnp.asarray(img)))
+            ref = img.copy()
+            if t.normalize:
+                ref = (ref - np.array(MEANS, np.float32)) / \
+                    np.array(STD, np.float32)
+            elif t.subtract_means:
+                ref = ref - np.array(MEANS, np.float32)
+            elif t.to_float:
+                ref = ref / 255.0
+            ref = ref[..., ['BGR'.index(c) for c in order]]
+            np.testing.assert_allclose(got, ref, atol=1e-5,
+                                       err_msg=f'{order}/{mode}')

@@ -443,7 +443,10 @@ class YolactConfig:
             return 3
         if self.fpn is not None:
             return self.fpn.num_features
-        return backbone_channels(self.backbone)[self.mask_proto_src]
+        # without an FPN the model feeds the protonet the mask_proto_src-th
+        # SELECTED backbone output (models/yolact.py), not the raw stage
+        sel = self.backbone.selected_layers[self.mask_proto_src]
+        return backbone_channels(self.backbone)[sel]
 
     @property
     def num_heads(self) -> int:
@@ -621,6 +624,20 @@ YOLACT_PLUS_RESNET50_CONFIG = YOLACT_PLUS_BASE_CONFIG.copy(
         use_square_anchors=False))
 
 
+# SSD-arrangement VGG-16 YOLACT: 6 prediction levels straight off the
+# backbone (no FPN), per-level heads (channel counts differ so weights
+# cannot be shared), protonet fed from the stride-8 stage.  The reference
+# ships the VGG backbone + transform (data/config.py:181-299,
+# backbone.py:324-444) but never registers a named model config for it;
+# this completes the family so VGG runs through the same Pipeline.
+YOLACT_VGG16_CONFIG = YOLACT_BASE_CONFIG.copy(
+    name='yolact_vgg16',
+    backbone=VGG16_BACKBONE,
+    fpn=None,
+    share_prediction_module=False,
+    mask_proto_src=0)
+
+
 _CONFIG_REGISTRY: Dict[str, YolactConfig] = {}
 _DATASET_REGISTRY: Dict[str, DatasetConfig] = {
     'dataset_base': DatasetConfig(),
@@ -639,7 +656,8 @@ def register_config(cfg: YolactConfig, name: Optional[str] = None) -> YolactConf
 for _c in (COCO_BASE_CONFIG, YOLACT_BASE_CONFIG, YOLACT_IM400_CONFIG,
            YOLACT_IM700_CONFIG, YOLACT_DARKNET53_CONFIG,
            YOLACT_RESNET50_CONFIG, YOLACT_RESNET50_PASCAL_CONFIG,
-           YOLACT_PLUS_BASE_CONFIG, YOLACT_PLUS_RESNET50_CONFIG):
+           YOLACT_PLUS_BASE_CONFIG, YOLACT_PLUS_RESNET50_CONFIG,
+           YOLACT_VGG16_CONFIG):
     register_config(_c)
 
 

@@ -51,9 +51,12 @@ def preprocess_device(cfg: YolactConfig, img: jnp.ndarray,
         img = img - mean
     elif t.to_float:
         img = img / 255.0
-    if t.channel_order != 'RGB':
-        raise NotImplementedError
-    return img[..., ::-1]  # BGR -> RGB
+    # channel permutation AFTER the (BGR-space) normalisation, exactly as
+    # BackboneTransform with in_channel_order='BGR'
+    # (augmentations.py:580-594); 'RGB' yields the usual BGR->RGB flip,
+    # any other order (e.g. BGR-trained VGG weights) works the same way
+    perm = tuple('BGR'.index(c) for c in t.channel_order)
+    return img[..., perm]
 
 
 def preprocess_device_s2d(cfg: YolactConfig, img: jnp.ndarray) -> jnp.ndarray:
