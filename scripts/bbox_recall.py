@@ -1,56 +1,85 @@
-"""Anchor recall analysis: what fraction of gt boxes have an anchor with
-IoU above threshold under a given config (equivalent of the reference
-``scripts/bbox_recall.py``).
+"""Anchor recall over the training-set gt boxes.
 
-Usage: python scripts/bbox_recall.py [bboxes.npy] [config_name] [iou_thresh]
+Reports total recall plus the COCO small/medium/large breakdown (areas
+under 32^2 / 96^2 pixels in the ORIGINAL image, reference
+``scripts/bbox_recall.py:120-181``) for either a design-script anchor
+spec (scales/aspect-ratios/conv-sizes, the iteration target of
+optimize_bboxes) or a registered config's real prior grid.
+
+Usage:
+  python scripts/bbox_recall.py [bboxes.pkl|.npy]
+      [--aug bboxes_aug.pkl]      # use augmented boxes for the IoU test
+      [--config yolact_base]      # real config priors instead of the spec
+      [--thresh 0.5]
 """
 
+from __future__ import annotations
+
+import argparse
 import sys
 
 import numpy as np
 
 sys.path.insert(0, '.')
-from yolact_tpu.config import get_config  # noqa: E402
-from yolact_tpu.ops.anchors import generate_priors  # noqa: E402
+from scripts._bbox_io import (best_iou_chunked, config_priors_pt,  # noqa: E402
+                              load_abs_dump, load_rel_dump, spec_priors,
+                              to_relative)
+
+SMALL, MEDIUM, LARGE = 0, 1, 2
 
 
-def np_iou_cs(a, b):
-    """IoU between center-size boxes [n,4] x [m,4]."""
-    def to_pt(x):
-        return np.concatenate([x[:, :2] - x[:, 2:] / 2,
-                               x[:, :2] + x[:, 2:] / 2], 1)
-    A, B = to_pt(a), to_pt(b)
-    ix = np.clip(np.minimum(A[:, None, 2], B[None, :, 2]) -
-                 np.maximum(A[:, None, 0], B[None, :, 0]), 0, None)
-    iy = np.clip(np.minimum(A[:, None, 3], B[None, :, 3]) -
-                 np.maximum(A[:, None, 1], B[None, :, 1]), 0, None)
-    inter = ix * iy
-    aa = (a[:, 2] * a[:, 3])[:, None]
-    ab = (b[:, 2] * b[:, 3])[None, :]
-    return inter / np.maximum(aa + ab - inter, 1e-9)
+def size_buckets(rows: np.ndarray) -> np.ndarray:
+    """COCO size class per gt from the raw dump's absolute w*h."""
+    area = rows[:, 4] * rows[:, 5]
+    out = np.full(len(rows), LARGE)
+    out[area < 96 ** 2] = MEDIUM
+    out[area < 32 ** 2] = SMALL
+    return out
 
 
-def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else 'weights/bboxes.npy'
-    config = sys.argv[2] if len(sys.argv) > 2 else 'yolact_base'
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
+def recall_report(boxes_rel, sizes, anchors, thresh=0.5):
+    best = best_iou_chunked(boxes_rel, anchors)
+    hits = best > thresh
+    lines = [f'Total recall: {hits.mean() * 100:.2f}',
+             f'Mean best IoU: {best.mean():.3f}', '']
+    if sizes is not None:
+        for i, name in ((SMALL, 'small'), (MEDIUM, 'medium'),
+                        (LARGE, 'large')):
+            sel = hits[sizes == i]
+            lines.append(f'{name} recall: '
+                         f'{(sel.mean() if len(sel) else 0) * 100:.2f}'
+                         f'  (n={len(sel)})')
+    return hits, lines
 
-    cfg = get_config(config)
-    priors = generate_priors(cfg)
-    boxes = np.load(path)
 
-    hits = 0
-    chunk = 2000
-    best_all = []
-    for i in range(0, len(boxes), chunk):
-        iou = np_iou_cs(boxes[i:i + chunk], priors)
-        best = iou.max(axis=1)
-        best_all.append(best)
-        hits += int((best >= thresh).sum())
-    best_all = np.concatenate(best_all)
-    print(f'config={config} priors={len(priors)} boxes={len(boxes)}')
-    print(f'recall@{thresh}: {hits / len(boxes) * 100:.2f}%')
-    print(f'mean best IoU: {best_all.mean():.3f}')
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('dump', nargs='?', default='weights/bboxes.pkl')
+    ap.add_argument('--aug', default=None,
+                    help='augmented relative dump (bboxes_aug) to test '
+                         'against instead of the raw boxes')
+    ap.add_argument('--config', default=None,
+                    help='use a registered config\'s priors instead of '
+                         'the design-script spec')
+    ap.add_argument('--thresh', type=float, default=0.5)
+    args = ap.parse_args(argv)
+
+    rows = load_abs_dump(args.dump)
+    sizes = size_buckets(rows)
+    if args.aug:
+        boxes_rel = load_rel_dump(args.aug)
+        # augmented dumps are per-surviving-box; the size breakdown only
+        # aligns when counts match (reference drops it for aug input too)
+        if len(boxes_rel) != len(rows):
+            sizes = None
+    else:
+        boxes_rel = to_relative(rows)
+
+    anchors = config_priors_pt(args.config) if args.config else spec_priors()
+    print(f'anchors={len(anchors)} boxes={len(boxes_rel)} '
+          f'thresh={args.thresh}')
+    _, lines = recall_report(boxes_rel, sizes, anchors, args.thresh)
+    print('\n'.join(lines))
 
 
 if __name__ == '__main__':

@@ -1,34 +1,44 @@
-"""Dump every ground-truth box (normalized cx, cy, w, h) from a COCO
-annotation file to a .npy, for offline anchor design.
+"""Dump every ground-truth box from a COCO annotation file for offline
+anchor design (reference ``scripts/save_bboxes.py``).
 
-Equivalent of the reference ``scripts/save_bboxes.py``.
-Usage: python scripts/save_bboxes.py <instances.json> [out.npy]
+Rows are ``[im_w, im_h, x, y, w, h]`` absolute pixels — the format every
+other design script (augment_bbox, bbox_recall, cluster_bbox_sizes,
+optimize_bboxes) consumes.  ``.pkl`` or ``.npy`` by extension.
+
+Usage: python scripts/save_bboxes.py <instances.json> [out.pkl|.npy]
+       [--include-crowd]
 """
 
+import argparse
 import sys
 
 import numpy as np
 
 sys.path.insert(0, '.')
+from scripts._bbox_io import save_dump  # noqa: E402
 from yolact_tpu.data.coco import COCOIndex  # noqa: E402
 
 
-def main():
-    info = sys.argv[1]
-    out = sys.argv[2] if len(sys.argv) > 2 else 'weights/bboxes.npy'
-    coco = COCOIndex(info)
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('info')
+    ap.add_argument('out', nargs='?', default='weights/bboxes.pkl')
+    ap.add_argument('--include-crowd', action='store_true')
+    args = ap.parse_args(argv)
+
+    coco = COCOIndex(args.info)
     rows = []
     for img_id, anns in coco.img_to_anns.items():
         im = coco.imgs[img_id]
         w, h = im['width'], im['height']
         for a in anns:
-            if a.get('iscrowd'):
+            if a.get('iscrowd') and not args.include_crowd:
                 continue
-            x, y, bw, bh = a['bbox']
-            rows.append([(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h])
-    arr = np.array(rows, np.float32)
-    np.save(out, arr)
-    print(f'saved {len(arr)} boxes -> {out}')
+            if 'bbox' in a:
+                rows.append([w, h] + list(a['bbox']))
+    arr = np.array(rows, np.float64)
+    save_dump(arr, args.out)
+    print(f'saved {len(arr)} boxes -> {args.out}')
 
 
 if __name__ == '__main__':

