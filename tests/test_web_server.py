@@ -46,9 +46,48 @@ def test_web_server_endpoints(tmp_path):
             f'http://127.0.0.1:{port}/image42', timeout=10).read()
         dec = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
         assert dec is not None and dec.shape == (32, 32, 3)
+
+        # the IoU inspector page serves and references its scripts
+        iou = urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/iou.html', timeout=10).read()
+        assert b'playground' in iou and b'iou.js' in iou
+
+        # checked-in demo det sets make the inspector render data out of
+        # the box (scripts/make_web_demo.py)
+        assert 'tiny_demo_trained' in idx and 'tiny_demo_early' in idx
+        demo = json.loads(urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/dets/tiny_demo_trained.json',
+            timeout=10).read())
+        assert demo['images'] and demo['images'][0]['dets']
+        det = demo['images'][0]['dets'][0]
+        assert {'score', 'bbox', 'category', 'mask'} <= set(det)
+
+        # demo-image fallback: id 100 is not in the test image root but
+        # ships in web/demo_images
+        raw = urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/image100', timeout=10).read()
+        dec = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+        assert dec is not None and dec.shape[2] == 3
     finally:
         httpd.shutdown()
         os.remove(probe)
+
+
+def test_demo_dets_masks_decode():
+    """The demo det masks round-trip through the same RLE codec rle.js
+    implements, at the demo images' canvas size."""
+    import numpy as np
+
+    from yolact_tpu.data import rle as rle_codec
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, 'web', 'dets',
+                           'tiny_demo_trained.json')) as f:
+        demo = json.load(f)
+    det = demo['images'][0]['dets'][0]
+    m = rle_codec.rle_to_mask({'size': det['mask']['size'],
+                               'counts': det['mask']['counts'].encode()})
+    assert m.shape == tuple(det['mask']['size'])
+    assert m.dtype in (np.uint8, np.bool_) and int(m.max()) <= 1
 
 
 def test_tpuinfo_device_info():

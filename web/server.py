@@ -39,6 +39,11 @@ def make_handler(image_root: str):
             if m:
                 img_id = int(m.group(1))
                 path = os.path.join(image_root, f'{img_id:012d}.jpg')
+                if not os.path.exists(path):
+                    # checked-in demo assets (scripts/make_web_demo.py) so
+                    # the viewer works out of the box without COCO
+                    path = os.path.join(WEB_ROOT, 'demo_images',
+                                        f'{img_id:012d}.jpg')
                 if os.path.exists(path):
                     with open(path, 'rb') as f:
                         body = f.read()
