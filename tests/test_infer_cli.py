@@ -135,3 +135,57 @@ def test_cli_evalimages_directory(tiny_ckpt, tmp_path):
     for f in outs:
         img = cv2.imread(str(outd / f))
         assert img is not None and img.shape == (50, 60, 3)
+
+
+def test_playback_stabilizer_drift():
+    """The stabilizer's pacing rule (eval.py:764-778): sleep target
+    drifts UP while the buffer runs below video_multiframe, DOWN when it
+    overfills (clamped at the source frame time for files), and reverts
+    to the plain frame time once the producer is done."""
+    from yolact_tpu.eval.video import PlaybackStabilizer
+
+    ft = 1 / 30
+    st = PlaybackStabilizer(target_fps=30, buffer_target=4)
+    # buffer starving -> target grows monotonically
+    prev = st.sleep_target(0, ft)
+    grew = [st.sleep_target(0, ft) for _ in range(20)]
+    assert all(b >= a for a, b in zip([prev] + grew, grew))
+    assert st.stabilized > ft
+    # buffer overfull -> internal target shrinks back toward zero, but a
+    # FILE's playback never paces faster than the source frame rate
+    for _ in range(200):
+        st.sleep_target(50, ft)
+    assert st.stabilized == 0.0
+    assert st.sleep_target(50, 0.0) == 2 * ft  # floor: 2*frame_time - avg
+    # a webcam may play as fast as frames arrive
+    cam = PlaybackStabilizer(target_fps=30, buffer_target=4, is_webcam=True)
+    for _ in range(200):
+        cam.sleep_target(50, ft)
+    assert cam.sleep_target(50, ft) == 0.0
+    # producer done -> fixed source-rate pacing, no more drift
+    st2 = PlaybackStabilizer(target_fps=30, buffer_target=4)
+    assert st2.sleep_target(0, ft, vid_done=True) == pytest.approx(ft)
+    assert st2.stabilized == pytest.approx(ft)  # untouched
+
+
+def test_cli_video_display_headless_fallback(tiny_ckpt, tmp_path):
+    """--display on a headless rig must degrade to plain processing (the
+    reference crashes in cv2.imshow; we probe and warn instead)."""
+    import cv2
+    from yolact_tpu.eval.video import _display_available, evalvideo
+    from yolact_tpu.train.checkpoint import load_weights
+
+    cfg, ckpt = tiny_ckpt
+    vid_in = str(tmp_path / 'in.mp4')
+    vw = cv2.VideoWriter(vid_in, cv2.VideoWriter_fourcc(*'mp4v'), 10,
+                         (96, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        vw.write((rng.rand(64, 96, 3) * 255).astype(np.uint8))
+    vw.release()
+    if _display_available():  # pragma: no cover - headless CI
+        pytest.skip('display available; fallback path not reachable')
+    variables = load_weights(cfg, ckpt)
+    fps = evalvideo(cfg, variables, vid_in, None, video_multiframe=2,
+                    score_threshold=0.0, max_frames=4, display=True)
+    assert fps >= 0

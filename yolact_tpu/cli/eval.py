@@ -196,7 +196,8 @@ def main(argv=None):
                   maskiou_variables=maskiou_vars,
                   score_threshold=args.score_threshold or 0.15,
                   top_k=args.top_k, display_fps=True,
-                  emulate_playback=args.emulate_playback)
+                  emulate_playback=args.emulate_playback,
+                  display=args.display)
         return
 
     from yolact_tpu.eval.evaluate import (calc_map_from_file,

@@ -28,6 +28,96 @@ from yolact_tpu.infer import Pipeline
 from yolact_tpu.utils.functions import MovingAverage
 
 
+class PlaybackStabilizer:
+    """Playback-rate stabilizer for live display (eval.py:718-789).
+
+    The producer fills a frame buffer at compute speed; the consumer
+    paces itself so playback is smooth even when compute jitters: the
+    per-frame sleep target drifts up when the buffer runs low (play
+    slower, let the buffer refill) and down when it overfills, clamped
+    at the source frame time for files (webcams may play faster).
+    ``sleep_target(...)`` returns how long to wait before showing the
+    next frame: ``max(2 * target - avg_frame_time, 0)`` — the reference's
+    proportional correction toward the drifting target.
+    """
+
+    def __init__(self, target_fps: float, buffer_target: int,
+                 is_webcam: bool = False, step: float = 0.0005):
+        self.frame_time_target = 1.0 / max(target_fps, 1e-6)
+        self.stabilized = self.frame_time_target
+        self.buffer_target = buffer_target
+        self.is_webcam = is_webcam
+        self.step = step
+
+    def sleep_target(self, buffer_size: int, avg_frame_time: float,
+                     vid_done: bool = False) -> float:
+        if not vid_done:
+            if buffer_size < self.buffer_target:
+                self.stabilized += self.step
+            elif buffer_size > self.buffer_target:
+                self.stabilized = max(self.stabilized - self.step, 0.0)
+            new_target = self.stabilized if self.is_webcam else \
+                max(self.stabilized, self.frame_time_target)
+        else:
+            new_target = self.frame_time_target
+        return max(2 * new_target - avg_frame_time, 0.0)
+
+
+def _display_available() -> bool:
+    """True when cv2 can open a HighGUI window (headless rigs cannot).
+
+    Checks the display environment BEFORE touching HighGUI: on a headless
+    Linux box some cv2 builds abort() inside namedWindow instead of
+    raising cv2.error, which would take the whole process down."""
+    import os
+    import sys
+    if sys.platform.startswith('linux') and \
+            not (os.environ.get('DISPLAY') or
+                 os.environ.get('WAYLAND_DISPLAY')):
+        return False
+    import cv2
+    try:
+        cv2.namedWindow('__yolact_probe__')
+        cv2.destroyWindow('__yolact_probe__')
+        return True
+    except cv2.error:
+        return False
+
+
+def _play_loop(win_name, buffer_q, stabilizer, stop, producer_done,
+               frame_times):
+    """Consumer thread: imshow frames from the buffer at a stabilized
+    rate; Escape closes (eval.py:752-758)."""
+    import cv2
+    last = None
+    while not stop.is_set():
+        t0 = time.perf_counter()
+        frame = None
+        try:
+            frame = buffer_q.get(timeout=0.05)
+        except queue.Empty:
+            if producer_done.is_set():
+                break
+        if frame is None and producer_done.is_set() and buffer_q.empty():
+            break
+        if frame is not None:
+            now = time.perf_counter()
+            if last is not None:
+                frame_times.add(now - last)
+            last = now
+            cv2.imshow(win_name, frame)
+        if cv2.waitKey(1) == 27:      # Escape closes
+            stop.set()
+            break
+        target = stabilizer.sleep_target(
+            buffer_q.qsize(), frame_times.get_avg(),
+            vid_done=producer_done.is_set())
+        deadline = t0 + target - 0.001
+        while time.perf_counter() < deadline and not stop.is_set():
+            time.sleep(0.001)
+    cv2.destroyAllWindows()
+
+
 def evalvideo(cfg: YolactConfig, variables, path: str,
               out_path: Optional[str] = None,
               video_multiframe: int = 4,
@@ -36,9 +126,13 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
               top_k: int = 15,
               display_fps: bool = True,
               emulate_playback: bool = False,
+              display: bool = False,
               max_frames: int = -1) -> float:
     """Returns average end-to-end fps.  `path` may be a file or a webcam
-    index string (eval.py:644-650)."""
+    index string (eval.py:644-650).  ``display=True`` plays frames live
+    in a cv2 window through the buffered stabilizer consumer (falls back
+    to headless processing with a warning when no display is available);
+    the reference only displays when not writing, kept here."""
     import cv2
 
     is_webcam = path.isdigit()
@@ -58,6 +152,14 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     if out_path is not None:
         writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*'mp4v'),
                                  target_fps, (fw, fh))
+
+    display = display and out_path is None
+    if display and not _display_available():
+        print('No display available; processing without playback window.')
+        display = False
+    play_thread = None
+    buffer_q: Optional["queue.Queue"] = None
+    producer_done = threading.Event()
 
     pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
                         preprocess=True, score_threshold=score_threshold)
@@ -99,6 +201,17 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     t = threading.Thread(target=reader, daemon=True)
     t.start()
 
+    if display:
+        buffer_q = queue.Queue()
+        stabilizer = PlaybackStabilizer(target_fps, video_multiframe,
+                                        is_webcam=is_webcam)
+        play_thread = threading.Thread(
+            target=_play_loop,
+            args=(path, buffer_q, stabilizer, stop, producer_done,
+                  MovingAverage(100)),
+            daemon=True)
+        play_thread.start()
+
     frame_times = MovingAverage(100)
     fps = 0.0
     processed = 0
@@ -129,6 +242,8 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
                 fps_str=f'{fps:.1f} fps' if display_fps else '')
             if writer is not None:
                 writer.write(img)
+            if buffer_q is not None:
+                buffer_q.put(img)
             processed += 1
             if emulate_playback:
                 # pace output at the source frame rate (eval.py:718-789
@@ -146,6 +261,8 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     pending = None
     eof = False
     while not (eof and pending is None):
+        if stop.is_set():          # Escape in the playback window
+            break
         current = None
         if not eof:
             frames = frame_q.get()
@@ -166,6 +283,9 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
         pending = current
 
     print()
+    producer_done.set()
+    if play_thread is not None:
+        play_thread.join(timeout=30)
     stop.set()
     cap.release()
     if writer is not None:
