@@ -206,3 +206,19 @@ def test_convert_darknet_binary(tmp_path):
     import torch
     sd = torch.load(out, weights_only=False)
     assert '_preconv.0.weight' in sd
+
+
+def test_flops_accounting():
+    """scripts/flops.py: lowered-HLO FLOPs for a registered config, and
+    the MFU arithmetic."""
+    sys.path.insert(0, REPO)
+    from _tiny import tiny_resnet_config
+    from scripts.flops import forward_flops
+    from yolact_tpu.config import register_config
+
+    register_config(tiny_resnet_config().copy(name='tiny_flops_probe'))
+    row = forward_flops('tiny_flops_probe')
+    assert row['flops_per_image_g'] > 0.5          # ~0.95 GF at 128px
+    assert row['params_m'] > 0.1
+    tr = forward_flops('tiny_flops_probe', batch=2, train=True)
+    assert tr['flops_per_image_g'] >= row['flops_per_image_g']
