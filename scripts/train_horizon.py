@@ -149,6 +149,9 @@ def main():
     ap.add_argument('--data_dir', default='results/horizon_data')
     ap.add_argument('--out_dir', default='results')
     ap.add_argument('--plot_only', action='store_true')
+    ap.add_argument('--eval', metavar='CKPT', default=None,
+                    help='skip training; evaluate this horizon checkpoint '
+                         'on the synthetic val set (full eval->mAP loop)')
     args = ap.parse_args()
 
     from yolact_tpu.config import get_config, register_config
@@ -174,6 +177,30 @@ def main():
             train_images=img_dir, train_info=json_path,
             valid_images=img_dir, valid_info=json_path))
     register_config(cfg)
+
+    if args.eval:
+        # Close the loop: trained checkpoint -> full dataset eval -> mAP
+        # (forward -> detect -> postprocess -> greedy AP match -> calc_map),
+        # proving the train->eval chain end-to-end on the real chip.
+        import jax
+        from flax import serialization
+        from yolact_tpu.eval.evaluate import evaluate_dataset, \
+            make_eval_dataset
+        with open(args.eval, 'rb') as f:
+            blob = serialization.msgpack_restore(f.read())
+        variables = {'params': blob['params']['model'],
+                     'batch_stats': blob['batch_stats']}
+        maskiou_vars = blob['params'].get('maskiou')
+        maps = evaluate_dataset(cfg, variables, make_eval_dataset(cfg),
+                                maskiou_variables=maskiou_vars,
+                                eval_batch_size=args.batch)
+        out = os.path.join(args.out_dir, f'horizon_map_{args.config}.json')
+        with open(out, 'w') as f:
+            json.dump({'checkpoint': os.path.basename(args.eval),
+                       'iters': int(blob['step']), 'maps': maps}, f,
+                      indent=1)
+        print(f'wrote {out}')
+        return
 
     argv = ['--config', name, '--batch_size', str(args.batch),
             '--compute_dtype', args.dtype, '--num_workers', '4',

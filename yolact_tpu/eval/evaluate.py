@@ -172,9 +172,8 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
     # replaces ~0.5 s/image of host cv2/numpy work with one jitted call;
     # exact same numerics (torch-style bilinear upsample + 0.5 binarise).
     if device_mask_iou is None:
-        import jax.extend.backend
-        device_mask_iou = (jax.extend.backend.get_backend().platform
-                           == 'tpu')
+        from jax.extend import backend as _jax_backend
+        device_mask_iou = _jax_backend.get_backend().platform == 'tpu'
     # the device metrics path upsamples canvas-global proto-res masks;
     # direct masks (mask_type=0) are box-local patches, host path only
     use_dev_miou = (device_mask_iou and compute_map and not display
