@@ -23,7 +23,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, '.')
-from scripts._bbox_io import iou_pt, load_abs_dump, save_dump  # noqa: E402
+from scripts._bbox_io import (iou_pt, load_abs_dump, save_dump,  # noqa: E402
+                              to_relative)
 
 # (min_iou, max_iou) crop modes; None = keep the whole image
 # (utils/augmentations.py:291-304 — note 0.4 is absent upstream too)
@@ -132,9 +133,7 @@ def main(argv=None):
         def scale_of(pt):
             return np.sqrt(np.maximum(
                 (pt[:, 2] - pt[:, 0]) * (pt[:, 3] - pt[:, 1]), 0))
-        orig = np.concatenate(
-            [rows[:, 2:4] / rows[:, :2],
-             (rows[:, 2:4] + rows[:, 4:]) / rows[:, :2]], axis=1)
+        orig = to_relative(rows)
         for name, b in (('original ', orig), ('augmented', aug)):
             s = scale_of(b)
             print(f'{name}: n={len(b)} scale mean={s.mean():.4f} '

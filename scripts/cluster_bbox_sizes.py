@@ -49,6 +49,9 @@ def main(argv=None):
 
     for idx in np.argsort(centers):
         sel = wh[assign == idx]
+        if len(sel) == 0:  # kmeans cluster that lost all members
+            print(f'{centers[idx]:.3f} (0) aspect ratios: (empty)\n')
+            continue
         ars = sel[:, 0] / sel[:, 1]
         ac, aa = kmeans_1d(ars, min(args.ar_clusters, max(len(ars), 1)),
                            seed=int(idx))

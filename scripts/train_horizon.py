@@ -114,6 +114,9 @@ def plot_log(log_path, out_png):
     vis = LogVisualizer()
     vis.load(log_path)
     iters = vis.query('data.iter', 'train')
+    if not iters:
+        raise SystemExit(f'no train entries in {log_path} — did the run '
+                         'reach the first log interval?')
     letters = sorted(vis.query('data.loss', 'train')[0].keys())
     fig, (ax, ax2) = plt.subplots(
         2, 1, figsize=(9, 7), sharex=True,
@@ -152,6 +155,9 @@ def main():
     ap.add_argument('--eval', metavar='CKPT', default=None,
                     help='skip training; evaluate this horizon checkpoint '
                          'on the synthetic val set (full eval->mAP loop)')
+    ap.add_argument('--resume', default=None,
+                    help="passed through to the trainer ('latest' resumes "
+                         'the newest horizon checkpoint)')
     args = ap.parse_args()
 
     from yolact_tpu.config import get_config, register_config
@@ -209,6 +215,8 @@ def main():
             '--save_folder', 'weights/']
     if args.lr is not None:
         argv += ['--lr', str(args.lr)]
+    if args.resume is not None:
+        argv += ['--resume', args.resume, '--start_iter', '-1']
     train(argv)
     plot_log(log_path, png_path)
 

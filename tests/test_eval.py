@@ -349,3 +349,9 @@ def test_evaluate_direct_mask_end_to_end(tiny_eval_setup):
     assert set(maps.keys()) == {'box', 'mask'}
     assert np.isfinite(maps['box']['all'])
     assert np.isfinite(maps['mask']['all'])
+
+    # im700-style area filter must work for direct masks too (regression:
+    # the DIRECT branch didn't compute areas -> NameError)
+    maps2 = evaluate_dataset(cfg.copy(discard_mask_area=5 * 5), variables,
+                             dataset, quiet=True)
+    assert np.isfinite(maps2['mask']['all'])

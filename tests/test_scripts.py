@@ -110,7 +110,11 @@ def test_make_grid_random_and_explicit(tmp_path):
     assert r.returncode == 0, r.stderr
     g = np.load(out)
     assert g.shape == (3 + 1 + 12, 12, 12)
-    assert (g >= 0).all() and (g <= 1 + 1e-6).all() or True  # lattice in [0,1]
+    # lattice grids (random + explicit) are clipped to [0,1]; the basis
+    # grids that follow are coordinate features and legitimately span
+    # [-1, 1] / [0, sqrt(2)]
+    lattices = g[:4]
+    assert (lattices >= 0).all() and (lattices <= 1 + 1e-6).all()
     assert 'Saved 16 grids' in r.stdout
 
 

@@ -117,7 +117,9 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
     """Single-image inference (eval.py:595-610)."""
     import cv2
     import numpy as np
-    from yolact_tpu.detect.postprocess import finish_masks
+    from yolact_tpu.config import MaskType
+    from yolact_tpu.detect.postprocess import (finish_masks,
+                                               finish_masks_direct)
     from yolact_tpu.eval.display import draw_detections
     from yolact_tpu.eval.evaluate import sanitize_boxes_np
     from yolact_tpu.infer import Pipeline
@@ -144,7 +146,13 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
                         out_path=os.path.splitext(path)[0] + '_lincomb.png')
     n = int(np.asarray(out.valid[0]).sum())
     boxes_abs = sanitize_boxes_np(np.asarray(out.boxes[0])[:n], w, h)
-    masks = finish_masks(np.asarray(out.masks[0])[:n], w, h)
+    if cfg.mask_type == MaskType.DIRECT:
+        # box-local patches, not canvas-global proto masks
+        # (output_utils.py:101-120)
+        masks = finish_masks_direct(np.asarray(out.masks[0])[:n],
+                                    boxes_abs, w, h)
+    else:
+        masks = finish_masks(np.asarray(out.masks[0])[:n], w, h)
     drawn = draw_detections(
         cfg, img, np.asarray(out.classes[0])[:n],
         np.asarray(out.scores[0])[:n], boxes_abs, masks,

@@ -268,6 +268,8 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                         patches = np.asarray(out.masks[bi])[:n]
                         masks_full = finish_masks_direct(patches, boxes_abs,
                                                          w, h)
+                        areas = masks_full.reshape(n, -1).sum(axis=1) \
+                            if n > 0 else np.zeros(0)
                     else:
                         proto_masks = np.asarray(out.masks[bi])[:n]
                         masks_full = finish_masks(proto_masks, w, h)

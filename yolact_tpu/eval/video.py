@@ -68,7 +68,11 @@ def _display_available() -> bool:
 
     Checks the display environment BEFORE touching HighGUI: on a headless
     Linux box some cv2 builds abort() inside namedWindow instead of
-    raising cv2.error, which would take the whole process down."""
+    raising cv2.error, which would take the whole process down.
+
+    Note: playback runs on a secondary thread (like the reference's
+    play_video thread, eval.py:718) — macOS/Cocoa requires HighGUI on the
+    main thread, so --display is unsupported there (same as upstream)."""
     import os
     import sys
     if sys.platform.startswith('linux') and \
@@ -166,10 +170,16 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
 
     # frame size is fixed for a video: upsample+binarize the padded masks on
     # device in the same jitted program scope instead of per-frame cv2 on
-    # the host (this host has 1 core; 100 cv2 resizes/frame would dominate)
+    # the host (this host has 1 core; 100 cv2 resizes/frame would dominate).
+    # Direct masks (mask_type=0) are box-local patches — those go through
+    # the host paste path instead (output_utils.py:101-120 semantics).
     import jax
-    from yolact_tpu.detect.postprocess import upsample_masks_device
-    upsample = jax.jit(lambda m: upsample_masks_device(m, (fh, fw)))
+    from yolact_tpu.config import MaskType
+    from yolact_tpu.detect.postprocess import (finish_masks_direct,
+                                               upsample_masks_device)
+    direct_masks = cfg.mask_type == MaskType.DIRECT
+    upsample = (lambda m: m) if direct_masks else \
+        jax.jit(lambda m: upsample_masks_device(m, (fh, fw)))
 
     frame_q: "queue.Queue" = queue.Queue(maxsize=3)
     stop = threading.Event()
@@ -202,7 +212,12 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     t.start()
 
     if display:
-        buffer_q = queue.Queue()
+        # bounded: when compute outruns playback (the common case — the
+        # consumer is clamped to source fps for files) the producer blocks
+        # on put(), so at most ~2s of frames ever sit in memory instead of
+        # the whole video
+        buffer_q = queue.Queue(maxsize=max(2 * target_fps,
+                                           4 * video_multiframe))
         stabilizer = PlaybackStabilizer(target_fps, video_multiframe,
                                         is_webcam=is_webcam)
         play_thread = threading.Thread(
@@ -231,7 +246,11 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
             h, w = frames[i].shape[:2]
             n = int(valid[i].sum())
             boxes_abs = sanitize_boxes_np(boxes[i][:n], w, h)
-            full_masks = masks_full_np[i][:n]
+            if direct_masks:
+                full_masks = finish_masks_direct(masks_full_np[i][:n],
+                                                 boxes_abs, w, h)
+            else:
+                full_masks = masks_full_np[i][:n]
             now = time.perf_counter()
             frame_times.add(now - t_last)
             t_last = now
@@ -243,7 +262,14 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
             if writer is not None:
                 writer.write(img)
             if buffer_q is not None:
-                buffer_q.put(img)
+                # bounded-put with a stop check so Escape in the playback
+                # window can't leave the producer blocked on a full queue
+                while not stop.is_set():
+                    try:
+                        buffer_q.put(img, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
             processed += 1
             if emulate_playback:
                 # pace output at the source frame rate (eval.py:718-789
@@ -285,7 +311,10 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     print()
     producer_done.set()
     if play_thread is not None:
-        play_thread.join(timeout=30)
+        # remaining playback is bounded by the buffer size at source fps
+        drain_s = (buffer_q.qsize() if buffer_q is not None else 0) \
+            / max(target_fps, 1) + 10
+        play_thread.join(timeout=drain_s)
     stop.set()
     cap.release()
     if writer is not None:
