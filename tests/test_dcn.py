@@ -121,3 +121,20 @@ def test_yolact_plus_tiny_forward(rng):
     # 9 anchors/pos for plus configs (3 ars x 3 scales)
     from yolact_tpu.ops.anchors import num_priors
     assert out['loc'].shape[1] == num_priors(cfg)
+
+
+def test_dcn_offset_conv_zero_initialized(rng):
+    """conv_offset_mask must start at zero (weight AND bias) so the DCN
+    begins life as a plain conv — dcn_v2.py:114-116 init_offset.  With
+    xavier-random offsets, from-scratch yolact_plus training explodes
+    within two steps at 550^2 b8 (measured on-chip 2026-08-17)."""
+    import jax
+    from yolact_tpu.models.resnet import DCNLayer
+
+    layer = DCNLayer(features=8)
+    v = layer.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 6, 4)))
+    om = v['params']['conv_offset_mask']['conv']
+    assert float(jnp.abs(om['kernel']).max()) == 0.0
+    assert float(jnp.abs(om['bias']).max()) == 0.0
+    # the deformable weight itself must NOT be zero (kaiming)
+    assert float(jnp.abs(v['params']['weight']).max()) > 0.0

@@ -103,6 +103,7 @@ class Conv(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     stem_s2d: bool = False
+    kernel_init: Optional[Any] = None  # default: xavier_uniform
 
     @nn.compact
     def __call__(self, x):
@@ -137,7 +138,7 @@ class Conv(nn.Module):
             padding=((p, p), (p, p)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
-            kernel_init=nn.initializers.xavier_uniform(),
+            kernel_init=self.kernel_init or nn.initializers.xavier_uniform(),
             dtype=self.dtype,
             name='conv')(x)
 

@@ -38,9 +38,15 @@ class DCNLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        # weight AND bias start at zero (dcn_v2.py:114-116 init_offset) so
+        # the DCN begins as a plain conv (offsets 0, mask sigmoid(0)=0.5);
+        # xavier-random offsets destabilize from-scratch training (measured:
+        # yolact_plus 550^2 b8 explodes by step 2 without this)
         om = Conv(features=3 * k * k, kernel_size=k, stride=self.stride,
                   padding=self.padding, dilation=self.dilation,
-                  use_bias=True, dtype=self.dtype, name='conv_offset_mask')(x)
+                  use_bias=True, dtype=self.dtype,
+                  kernel_init=nn.initializers.zeros,
+                  name='conv_offset_mask')(x)
         offset = om[..., :2 * k * k]
         mask = jax.nn.sigmoid(om[..., 2 * k * k:])
         weight = self.param(
