@@ -188,23 +188,18 @@ def main():
         # Close the loop: trained checkpoint -> full dataset eval -> mAP
         # (forward -> detect -> postprocess -> greedy AP match -> calc_map),
         # proving the train->eval chain end-to-end on the real chip.
-        import jax
-        from flax import serialization
         from yolact_tpu.eval.evaluate import evaluate_dataset, \
             make_eval_dataset
-        with open(args.eval, 'rb') as f:
-            blob = serialization.msgpack_restore(f.read())
-        variables = {'params': blob['params']['model'],
-                     'batch_stats': blob['batch_stats']}
-        maskiou_vars = blob['params'].get('maskiou')
+        from yolact_tpu.train.checkpoint import load_weights
+        variables = load_weights(cfg, args.eval)
+        maskiou_vars = variables.pop('maskiou', None)
         maps = evaluate_dataset(cfg, variables, make_eval_dataset(cfg),
                                 maskiou_variables=maskiou_vars,
                                 eval_batch_size=args.batch)
         out = os.path.join(args.out_dir, f'horizon_map_{args.config}.json')
         with open(out, 'w') as f:
             json.dump({'checkpoint': os.path.basename(args.eval),
-                       'iters': int(blob['step']), 'maps': maps}, f,
-                      indent=1)
+                       'maps': maps}, f, indent=1)
         print(f'wrote {out}')
         return
 

@@ -1,0 +1,117 @@
+"""Regression tests for loader/checkpoint review findings (round 2)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from _tiny import tiny_resnet_config
+
+
+class _FakeDataset:
+    """Minimal pull_item-compatible dataset of n tiny images."""
+
+    def __init__(self, n=8, size=32, fail_at=None):
+        self.n = n
+        self.size = size
+        self.fail_at = fail_at
+
+    def __len__(self):
+        return self.n
+
+    def pull_item(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise RuntimeError('corrupt image (synthetic)')
+        S = self.size
+        img = np.zeros((S, S, 3), np.float32)
+        target = np.array([[0.1, 0.1, 0.5, 0.5, 0]], np.float32)
+        masks = np.ones((1, S, S), np.float32)
+        return img, target, masks, S, S, 0
+
+
+def test_loader_worker_error_propagates():
+    """A failing pull_item must surface in next_batch, not hang the
+    consumer behind a silently dead worker thread."""
+    from yolact_tpu.data.loader import BatchLoader
+    loader = BatchLoader(_FakeDataset(n=8, fail_at=3), batch_size=4,
+                         num_workers=1, shuffle=False)
+    with pytest.raises(RuntimeError, match='corrupt image'):
+        for _ in range(10):
+            loader.next_batch()
+    loader.stop()
+
+
+def test_loader_tiny_dataset_guard():
+    from yolact_tpu.data.loader import BatchLoader
+    with pytest.raises(ValueError, match='drop_last'):
+        BatchLoader(_FakeDataset(n=3), batch_size=8)
+    # drop_last=False wraps/tiles to a full static batch
+    loader = BatchLoader(_FakeDataset(n=3), batch_size=8, drop_last=False,
+                         num_workers=1)
+    batch = loader.next_batch()
+    assert batch['image'].shape[0] == 8
+    loader.stop()
+
+
+def test_load_weights_accepts_train_state_ckpt(tmp_path):
+    """eval --trained_model=<cli-train checkpoint>.ckpt must work: the
+    train-state blob is unwrapped to inference variables, maskiou head
+    included (regression: the raw state dict crashed Pipeline)."""
+    import jax
+    from yolact_tpu.train import checkpoint as ckpt
+    from yolact_tpu.train.step import create_train_state
+
+    cfg = tiny_resnet_config(
+        use_maskiou=True,
+        maskiou_net=((8, 3, (('stride', 2),)),))
+    model, state = create_train_state(cfg, seed=0)
+    path = str(tmp_path / 'tiny_1_100.ckpt')
+    ckpt.save_checkpoint(state, path)
+
+    variables = ckpt.load_weights(cfg, path)
+    assert 'params' in variables and 'batch_stats' in variables
+    # params are the MODEL subtree, not the train-state nesting
+    assert 'backbone' in variables['params']
+    maskiou = variables.pop('maskiou')
+    assert 'params' in maskiou
+
+    # and they drive a real forward pass
+    from yolact_tpu.infer import Pipeline
+    pipe = Pipeline(cfg, variables, maskiou_variables=maskiou,
+                    preprocess=False)
+    out = pipe(np.zeros((1, cfg.max_size, cfg.max_size, 3), np.float32))
+    assert out.boxes.shape[0] == 1
+
+
+def test_load_checkpoint_without_conf_state(tmp_path):
+    """Resuming a pre-class-balanced checkpoint into a template WITH
+    conf_state keeps the fresh counts instead of crashing."""
+    import jax
+    from yolact_tpu.train import checkpoint as ckpt
+    from yolact_tpu.train.step import create_train_state
+
+    cfg = tiny_resnet_config()
+    _, state_plain = create_train_state(cfg, seed=0)
+    path = str(tmp_path / 'tiny_1_50.ckpt')
+    ckpt.save_checkpoint(state_plain, path)
+
+    cfg2 = tiny_resnet_config(use_class_balanced_conf=True)
+    _, template = create_train_state(cfg2, seed=1)
+    restored = ckpt.load_checkpoint(path, template)
+    assert restored.conf_state is not None
+    assert float(np.asarray(restored.conf_state['total'])) == 0.0
+
+
+def test_prune_keeps_interrupt(tmp_path):
+    from yolact_tpu.train.checkpoint import prune_checkpoints
+    names = ['tiny_1_100.ckpt', 'tiny_2_200.ckpt',
+             'tiny_2_150_interrupt.ckpt']
+    for n in names:
+        (tmp_path / n).write_bytes(b'x')
+    prune_checkpoints(str(tmp_path), 'tiny', keep_latest_interval=0)
+    left = sorted(os.listdir(tmp_path))
+    assert 'tiny_2_150_interrupt.ckpt' in left   # never auto-pruned
+    assert 'tiny_2_200.ckpt' in left             # latest kept
+    assert 'tiny_1_100.ckpt' not in left         # pruned

@@ -47,7 +47,8 @@ def main(argv=None):
     maskiou_vars = variables.pop('maskiou', None) if isinstance(
         variables, dict) else None
 
-    platforms = args.platforms.split(',') if args.platforms else None
+    platforms = [p.strip() for p in args.platforms.split(',')
+                 if p.strip()] if args.platforms else None
     export_inference(cfg, variables, args.out,
                      batch_size=args.batch_size,
                      height=args.height, width=args.width,

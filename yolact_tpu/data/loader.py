@@ -6,12 +6,17 @@ numpy release the GIL), batches are padded to fixed shapes
 (``data.coco.pad_batch``) and queued so the accelerator never waits on the
 host.  On TPU the whole padded batch is later `device_put` with a
 batch-sharded layout — there is no per-device scatter step.
+
+Worker exceptions propagate to the consumer (like torch's DataLoader):
+a failing ``pull_item`` surfaces as a RuntimeError from ``next_batch`` /
+iteration instead of a silently dead thread and a hung training loop.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+import traceback
 from typing import Iterator
 
 import numpy as np
@@ -19,11 +24,23 @@ import numpy as np
 from yolact_tpu.data.coco import COCODetection, pack_batch_masks, pad_batch
 
 
+class _WorkerError:
+    """Sentinel carrying a worker thread's exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+        self.tb = traceback.format_exc()
+
+
 class BatchLoader:
     def __init__(self, dataset: COCODetection, batch_size: int,
                  max_gt: int = 100, shuffle: bool = True,
                  num_workers: int = 2, prefetch: int = 4, seed: int = 0,
                  drop_last: bool = True, pack_masks: bool = True):
+        if len(dataset) < batch_size and drop_last:
+            raise ValueError(
+                f'dataset has {len(dataset)} items < batch_size '
+                f'{batch_size} with drop_last=True: zero batches per epoch')
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -35,7 +52,10 @@ class BatchLoader:
         self.pack_masks = pack_masks
         self._stop = threading.Event()
         self._batch_queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        self._index_queue: "queue.Queue" = queue.Queue()
+        # bounded: backpressure for the feeder, which otherwise enqueues
+        # whole epochs of index lists as fast as it can shuffle them
+        self._index_queue: "queue.Queue" = queue.Queue(
+            maxsize=max(2 * self.num_workers, 4))
         self._threads = []
         self._started = False
 
@@ -51,20 +71,25 @@ class BatchLoader:
                 idxs = self._index_queue.get(timeout=0.25)
             except queue.Empty:
                 continue
-            items = [self.dataset.pull_item(i) for i in idxs]
-            imgs = [it[0] for it in items]
-            targets = [it[1] for it in items]
-            masks = [it[2] for it in items]
-            crowds = [it[5] for it in items]
-            batch = pad_batch(imgs, targets, masks, crowds, self.max_gt)
-            if self.pack_masks:
-                batch = pack_batch_masks(batch)
+            try:
+                items = [self.dataset.pull_item(i) for i in idxs]
+                imgs = [it[0] for it in items]
+                targets = [it[1] for it in items]
+                masks = [it[2] for it in items]
+                crowds = [it[5] for it in items]
+                batch = pad_batch(imgs, targets, masks, crowds, self.max_gt)
+                if self.pack_masks:
+                    batch = pack_batch_masks(batch)
+            except BaseException as e:  # propagate to the consumer
+                batch = _WorkerError(e)
             while not self._stop.is_set():
                 try:
                     self._batch_queue.put(batch, timeout=0.25)
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, _WorkerError):
+                return
 
     def _feeder(self):
         while not self._stop.is_set():
@@ -77,9 +102,10 @@ class BatchLoader:
                     return
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                 if len(idxs) < self.batch_size:
-                    # wrap around so shapes stay static
-                    idxs = np.concatenate(
-                        [idxs, order[:self.batch_size - len(idxs)]])
+                    # wrap around (tiling if the dataset is smaller than
+                    # one batch) so shapes stay static
+                    idxs = np.resize(
+                        np.concatenate([idxs, order]), self.batch_size)
                 while not self._stop.is_set():
                     try:
                         self._index_queue.put(list(idxs), timeout=0.25)
@@ -99,14 +125,21 @@ class BatchLoader:
             t.start()
             self._threads.append(t)
 
+    def _check(self, item):
+        if isinstance(item, _WorkerError):
+            self.stop()
+            raise RuntimeError(
+                f'BatchLoader worker failed:\n{item.tb}') from item.exc
+        return item
+
     def __iter__(self) -> Iterator[dict]:
         self.start()
         while not self._stop.is_set():
-            yield self._batch_queue.get()
+            yield self._check(self._batch_queue.get())
 
     def next_batch(self) -> dict:
         self.start()
-        return self._batch_queue.get()
+        return self._check(self._batch_queue.get())
 
     def stop(self):
         self._stop.set()

@@ -117,10 +117,14 @@ def mask_iou_device_packed(pred_masks: jnp.ndarray, gt_packed: jnp.ndarray,
     return mask_iou_device(pred_masks, gt, h, w, canvas)
 
 
-def dataset_canvas_size(dataset, align: int = 64, cap: int = 1024) -> int:
-    """Smallest aligned square holding every image in the dataset."""
+def dataset_canvas_size(dataset, align: int = 64) -> int:
+    """Smallest aligned square holding every image in the dataset.
+
+    No silent cap: gt_to_canvas* assume every image fits the canvas, so
+    the caller must decide what to do with oversized datasets (evaluate.py
+    falls back to the host metrics path above 1024)."""
     m = 0
     for im in dataset.coco.imgs.values():
         m = max(m, im.get('height', 0), im.get('width', 0))
-    m = min(max(m, align), cap)
+    m = max(m, align)
     return -(-m // align) * align

@@ -183,6 +183,14 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                                                     gt_to_canvas_packed,
                                                     mask_iou_device_packed)
         canvas = dataset_canvas_size(dataset)
+        if canvas > 1024:
+            # device metrics materialize [G, canvas, canvas] gt on chip;
+            # beyond 1k^2 the memory/compile cost stops paying — use the
+            # host path (COCO maxes at 640, so this is custom data)
+            if not quiet:
+                print(f'images up to {canvas}px exceed the device-metrics '
+                      'canvas; computing mask IoU on host')
+            use_dev_miou = False
 
     item_q: "queue.Queue" = queue.Queue(maxsize=2 * eval_batch_size + 2)
     stop = threading.Event()

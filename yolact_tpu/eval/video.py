@@ -91,7 +91,23 @@ def _display_available() -> bool:
 def _play_loop(win_name, buffer_q, stabilizer, stop, producer_done,
                frame_times):
     """Consumer thread: imshow frames from the buffer at a stabilized
-    rate; Escape closes (eval.py:752-758)."""
+    rate; Escape closes (eval.py:752-758).  Always sets ``stop`` on exit —
+    otherwise a dying GUI (lost X connection mid-run) would leave the
+    producer retrying puts against a full buffer forever."""
+    import cv2
+    try:
+        _play_loop_inner(win_name, buffer_q, stabilizer, stop,
+                         producer_done, frame_times)
+    finally:
+        stop.set()
+        try:
+            cv2.destroyAllWindows()
+        except Exception:
+            pass
+
+
+def _play_loop_inner(win_name, buffer_q, stabilizer, stop, producer_done,
+                     frame_times):
     import cv2
     last = None
     while not stop.is_set():
@@ -199,14 +215,28 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
                         break
                 if not frames:
                     break
-                frame_q.put(frames)
+                # stop-aware put: after Escape the consumer no longer
+                # drains, and a blocking put would leak this thread (and
+                # race cap.release() against cap.read())
+                while not stop.is_set():
+                    try:
+                        frame_q.put(frames, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
         except Exception:
             # surface reader-thread failures instead of hanging the consumer
             # (reference logs pipeline-thread exceptions, eval.py:785-789)
             import traceback
             traceback.print_exc()
         finally:
-            frame_q.put(None)
+            while True:  # EOF sentinel; bail if the consumer stopped
+                try:
+                    frame_q.put(None, timeout=0.25)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
@@ -316,6 +346,9 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
             / max(target_fps, 1) + 10
         play_thread.join(timeout=drain_s)
     stop.set()
+    # the reader must be out of cap.read() before release — VideoCapture
+    # is not thread-safe and a concurrent release can segfault
+    t.join(timeout=5)
     cap.release()
     if writer is not None:
         writer.release()

@@ -60,6 +60,11 @@ def load_checkpoint(path: str, state):
     with open(path, 'rb') as f:
         blob = serialization.msgpack_restore(f.read())
     target = _to_state_dict(state)
+    # a template with conf_state (use_class_balanced_conf on) must accept
+    # a checkpoint saved without it: the fresh-initialized counts stand in
+    target.pop('conf_state', None)
+    has_conf = 'conf_state' in blob
+    conf_blob = blob.pop('conf_state', None)
     restored = serialization.from_state_dict(target, blob)
     state = state.replace(
         step=jax.numpy.asarray(restored['step']),
@@ -67,8 +72,9 @@ def load_checkpoint(path: str, state):
         batch_stats=restored['batch_stats'],
         opt_state=serialization.from_state_dict(state.opt_state,
                                                 blob['opt_state']))
-    if 'conf_state' in blob:
-        state = state.replace(conf_state=blob['conf_state'])
+    if has_conf and getattr(state, 'conf_state', None) is not None:
+        state = state.replace(conf_state=serialization.from_state_dict(
+            jax.tree.map(np.asarray, state.conf_state), conf_blob))
     return state
 
 
@@ -82,7 +88,12 @@ def save_weights_only(variables: Dict, path: str) -> None:
 
 
 def load_weights(cfg: YolactConfig, path: str) -> Dict:
-    """Load inference weights from .ckpt / .pth."""
+    """Load inference weights from .ckpt / .pth.
+
+    Accepts both ``save_weights_only`` blobs ({'params', 'batch_stats'})
+    and full ``save_checkpoint`` train states (what cli/train writes) —
+    the latter is unwrapped so ``eval --trained_model=<trained>.ckpt``
+    works directly, maskiou head included."""
     if path.endswith('.pth'):
         from yolact_tpu.convert.torch_import import load_reference_weights
         variables, unhandled = load_reference_weights(cfg, path)
@@ -91,7 +102,14 @@ def load_weights(cfg: YolactConfig, path: str) -> Dict:
                   f'{unhandled[:5]}...')
         return variables
     with open(path, 'rb') as f:
-        return serialization.msgpack_restore(f.read())
+        blob = serialization.msgpack_restore(f.read())
+    if 'opt_state' in blob or 'step' in blob:  # train-state checkpoint
+        variables = {'params': blob['params']['model'],
+                     'batch_stats': blob.get('batch_stats', {})}
+        if 'maskiou' in blob['params']:
+            variables['maskiou'] = {'params': blob['params']['maskiou']}
+        return variables
+    return blob
 
 
 def resolve_resume(resume: str, save_folder: str, config_name: str
@@ -114,6 +132,10 @@ def prune_checkpoints(save_folder: str, config_name: str,
     checkpoint unless it falls on a keep interval."""
     ckpts = []
     for p in os.listdir(save_folder):
+        if os.path.splitext(p)[0].endswith('_interrupt'):
+            # --resume=interrupt state is never auto-pruned (the
+            # reference's retention loop only sees periodic saves)
+            continue
         try:
             sp = SavePath.from_str(p)
         except Exception:
