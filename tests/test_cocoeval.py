@@ -147,3 +147,34 @@ def test_custom_evaluator_matches_cocoeval_protocol(tmp_path):
     assert abs(maps['box']['all'] - stats['AP'] * 100) < 1.5, \
         (maps['box']['all'], stats['AP'] * 100)
     assert abs(maps['box'][50] - stats['AP50'] * 100) < 1.5
+
+
+def test_ignored_gt_matches_only_once(tmp_path):
+    """pycocotools marks even IGNORED (out-of-range, non-crowd) gt as
+    matched; a second det on the same gt cannot re-match it and becomes
+    an FP if its own area is in range (regression: both dets were
+    silently ignored, inflating area-range APs)."""
+    # gt area 25*40=1000 (small); ignored in the 'medium' pass
+    gt = make_gt(tmp_path, [(70, 1, (10, 10, 25, 40), 0),
+                            (70, 1, (40, 55, 69, 69), 0)])  # medium gt
+    # both high-score dets CONTAIN the small gt (IoU ~0.976/0.962, above
+    # every COCO threshold) but have medium areas (1025 / 1040)
+    dets = [det(70, 1, (10, 10, 25, 41), 0.97),   # matches small gt: ign
+            det(70, 1, (10, 10, 26, 40), 0.96),   # must NOT re-match ->
+                                                  # FP in the medium pass
+            det(70, 1, (40, 55, 69, 69), 0.95)]   # TP for medium gt
+    stats = COCOEvalLite(gt, dets, 'bbox').evaluate()
+    assert stats['APs'] == pytest.approx(1.0)
+    # fixed: FP at score 0.96 above the medium TP halves APm; the
+    # re-matching bug reported APm == 1.0
+    assert stats['APm'] < 0.75
+
+
+def test_area_boundary_closed_interval(tmp_path):
+    """area == 32^2 belongs to BOTH 'small' and 'medium' (pycocotools
+    uses closed [amin, amax] intervals)."""
+    gt = make_gt(tmp_path, [(1, 1, (10, 10, 32, 32), 0)])  # area 1024
+    dets = [det(1, 1, (10, 10, 32, 32), 0.9)]
+    stats = COCOEvalLite(gt, dets, 'bbox').evaluate()
+    assert stats['APs'] == pytest.approx(1.0)
+    assert stats['APm'] == pytest.approx(1.0)

@@ -126,11 +126,17 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
 
     img = cv2.imread(path)
     h, w = img.shape[:2]
-    pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_vars,
-                        preprocess=True,
-                        use_fast_nms=args.fast_nms,
-                        use_cross_class_nms=args.cross_class_nms,
-                        score_threshold=args.score_threshold)
+    if args.fast_nms:
+        pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_vars,
+                            preprocess=True,
+                            use_cross_class_nms=args.cross_class_nms,
+                            score_threshold=args.score_threshold)
+    else:
+        # host greedy per-class NMS (the reference's --fast_nms=False)
+        from yolact_tpu.eval.traditional import TraditionalPipeline
+        pipeline = TraditionalPipeline(cfg, variables,
+                                       score_threshold=args.score_threshold,
+                                       preprocess=True)
     out = pipeline(img.astype(np.float32)[None])
 
     if args.display_lincomb:

@@ -180,7 +180,10 @@ def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100):
       gt_masks   [B, max_gt, S, S] uint8
       num_gts    [B] int32  (valid incl. crowds)
       num_crowds [B] int32
-    Truncation drops crowd annotations first, then the smallest-area gt.
+    Truncation drops crowd annotations first, then the highest-index
+    (latest in annotation order) gts — NOT by area: reordering gts would
+    change the matcher's tie-breaks and break bit-parity with the
+    reference, which keeps annotation order (and has no gt cap at all).
     """
     B = len(imgs)
     S = imgs[0].shape[0]

@@ -101,28 +101,14 @@ def _cc_fast_nms_single(cfg: YolactConfig, boxes, coeffs, scores):
             out_scores > 0)
 
 
-def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
-           use_fast_nms: bool = True,
-           use_cross_class_nms: bool = False,
-           second_threshold: bool = False) -> Detections:
-    """Batched fixed-shape detection over raw model outputs.
-
-    Applies the eval-branch softmax (yolact.py:664-674) then NMS.  The
-    traditional (greedy per-class) NMS lives host-side in
-    ``yolact_tpu.eval.traditional_nms`` because it is sequential; the default
-    and benchmark path is fast_nms, matching the reference defaults
-    (eval.py:871-872 sets use_fast_nms=True).
-    """
-    loc = pred_outs['loc'].astype(jnp.float32)
+def eval_scores(cfg: YolactConfig,
+                pred_outs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Eval-branch score transform (yolact.py:650-674): raw conf logits ->
+    per-class scores incl. background column.  Shared by the on-device
+    detect() and the host traditional-NMS path (forward_raw) so every NMS
+    variant sees identical scores — focal/objectness/mask-scoring configs
+    included."""
     conf = pred_outs['conf'].astype(jnp.float32)
-    coeffs = pred_outs['mask'].astype(jnp.float32)
-    priors = pred_outs['priors'].astype(jnp.float32)
-    # direct-mask configs (mask_type=0) have no prototype branch; the
-    # 'mask' field then holds flattened mask_size^2 sigmoid masks
-    proto = pred_outs['proto'].astype(jnp.float32) \
-        if 'proto' in pred_outs else None
-
-    # eval-branch score transform (yolact.py:650-674)
     if cfg.use_focal_loss:
         if cfg.use_sigmoid_focal_loss:
             conf = jax.nn.sigmoid(conf)
@@ -142,6 +128,30 @@ def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
         conf = jnp.concatenate([conf[..., :1], fg], axis=-1)
     else:
         conf = jax.nn.softmax(conf, axis=-1)
+    return conf
+
+
+def detect(cfg: YolactConfig, pred_outs: Dict[str, jnp.ndarray],
+           use_fast_nms: bool = True,
+           use_cross_class_nms: bool = False,
+           second_threshold: bool = False) -> Detections:
+    """Batched fixed-shape detection over raw model outputs.
+
+    Applies the eval-branch softmax (yolact.py:664-674) then NMS.  The
+    traditional (greedy per-class) NMS lives host-side in
+    ``yolact_tpu.eval.traditional_nms`` because it is sequential; the default
+    and benchmark path is fast_nms, matching the reference defaults
+    (eval.py:871-872 sets use_fast_nms=True).
+    """
+    loc = pred_outs['loc'].astype(jnp.float32)
+    coeffs = pred_outs['mask'].astype(jnp.float32)
+    priors = pred_outs['priors'].astype(jnp.float32)
+    # direct-mask configs (mask_type=0) have no prototype branch; the
+    # 'mask' field then holds flattened mask_size^2 sigmoid masks
+    proto = pred_outs['proto'].astype(jnp.float32) \
+        if 'proto' in pred_outs else None
+
+    conf = eval_scores(cfg, pred_outs)
     scores_all = jnp.swapaxes(conf[..., 1:], 1, 2)          # [B, C-1, P]
 
     # candidate filter: max class score over foreground > conf_thresh

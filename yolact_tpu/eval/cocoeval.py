@@ -149,9 +149,12 @@ class COCOEvalLite:
                     scores_all, tps_all, n_gt = [], [], 0
                     for ious, gts, dts in per_img:
                         dts_m = dts[:max_det]
+                        # closed interval [amin, amax] like pycocotools
+                        # (boundary areas belong to BOTH adjacent ranges)
                         gt_ig_raw = np.array(
                             [bool(g.get('iscrowd')) or
-                             not (amin <= g['area'] < amax) for g in gts],
+                             g['area'] < amin or g['area'] > amax
+                             for g in gts],
                             bool) if gts else np.zeros(0, bool)
                         n_gt += int((~gt_ig_raw).sum())
                         if not dts_m:
@@ -160,6 +163,9 @@ class COCOEvalLite:
                         # the matcher can break once it reaches them
                         gt_order = np.argsort(gt_ig_raw, kind='stable')
                         gt_ig = gt_ig_raw[gt_order]
+                        gt_crowd = np.array(
+                            [bool(gts[j].get('iscrowd')) for j in gt_order],
+                            bool)
                         ious_s = ious[:, gt_order] if len(gts) else ious
 
                         tps = np.zeros((T, len(dts_m)), bool)
@@ -170,8 +176,11 @@ class COCOEvalLite:
                                 best = min(thr, 1 - 1e-10)
                                 bj = -1
                                 for gj in range(len(gts)):
-                                    # already matched to a non-ignored gt
-                                    if gt_used[gj] and not gt_ig[gj]:
+                                    # matched gt can't match again unless
+                                    # it's a crowd (pycocotools: gtm>0 and
+                                    # not iscrowd -> skip) — this applies
+                                    # to IGNORED matches too
+                                    if gt_used[gj] and not gt_crowd[gj]:
                                         continue
                                     # matched a real gt and reached the
                                     # ignored tail: stop
@@ -183,14 +192,15 @@ class COCOEvalLite:
                                     bj = gj
                                 if bj == -1:
                                     # unmatched det outside the area range
-                                    # is ignored, not an FP
-                                    ignore[t, di] = not (
-                                        amin <= d['area'] < amax)
+                                    # is ignored, not an FP (closed
+                                    # interval like pycocotools)
+                                    ignore[t, di] = (d['area'] < amin or
+                                                     d['area'] > amax)
                                     continue
+                                gt_used[bj] = True
                                 if gt_ig[bj]:
                                     ignore[t, di] = True
                                 else:
-                                    gt_used[bj] = True
                                     tps[t, di] = True
                         scores_all.append(
                             np.array([d['score'] for d in dts_m]))

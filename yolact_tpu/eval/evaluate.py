@@ -110,46 +110,13 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                             preprocess=False,
                             score_threshold=score_threshold)
     else:
-        # traditional greedy NMS path: device does forward+decode+softmax,
+        # traditional greedy NMS path: device does forward+decode+scores,
         # the per-class O(n^2) suppression runs in the native C++ lib and
         # mask assembly on the host (detection.py:182-228 semantics)
-        from functools import partial as _partial
-        from yolact_tpu.infer import forward_raw
-        from yolact_tpu.models.yolact import Yolact as _Yolact
-        from yolact_tpu.eval.traditional import (host_assemble_masks,
-                                                 traditional_nms)
-        _model = _Yolact(cfg)
-        raw_fn = jax.jit(_partial(forward_raw, cfg, _model,
-                                   preprocess=False))
-
-        class _TraditionalPipeline:
-            def __call__(self, imgs):
-                import numpy as _np
-                from yolact_tpu.infer import InferenceOutput
-                boxes, scores, coeffs, proto = (
-                    _np.asarray(a) for a in raw_fn(variables, images=imgs))
-                B = boxes.shape[0]
-                D = cfg.max_num_detections
-                Md = coeffs.shape[-1]
-                Hp, Wp = proto.shape[1], proto.shape[2]
-                ob = _np.zeros((B, D, 4), _np.float32)
-                oc = _np.zeros((B, D), _np.int32)
-                os_ = _np.full((B, D), -1.0, _np.float32)
-                om = _np.zeros((B, D, Hp, Wp), _np.float32)
-                ov = _np.zeros((B, D), bool)
-                for b in range(B):
-                    bb, cc, cls, sc = traditional_nms(
-                        cfg, boxes[b], coeffs[b], scores[b])
-                    n = min(len(sc), D)
-                    ob[b, :n] = bb[:n]
-                    oc[b, :n] = cls[:n]
-                    os_[b, :n] = sc[:n]
-                    ov[b, :n] = sc[:n] > score_threshold \
-                        if score_threshold > 0 else True
-                    om[b, :n] = host_assemble_masks(proto[b], cc[:n], bb[:n])
-                return InferenceOutput(ob, oc, os_, om, ov, None)
-
-        pipeline = _TraditionalPipeline()
+        from yolact_tpu.eval.traditional import TraditionalPipeline
+        pipeline = TraditionalPipeline(cfg, variables,
+                                       score_threshold=score_threshold,
+                                       preprocess=False)
 
     dataset_size = len(dataset) if max_images < 0 else \
         min(max_images, len(dataset))

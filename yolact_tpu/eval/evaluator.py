@@ -131,9 +131,16 @@ def prep_metrics(ap_data, classes: Sequence[int],
 
     if mask_iou_full is not None:
         miou = np.asarray(mask_iou_full)[:num_pred, :n_gt_total]
-        cmiou = np.asarray(crowd_mask_iou_full)[:num_pred, :n_gt_total] \
-            if crowd_mask_iou_full is not None else miou
         if num_crowd > 0:
+            if crowd_mask_iou_full is None:
+                # crowd IoU divides by det area only (always >= union
+                # IoU); silently substituting the union matrix would
+                # under-ignore crowd detections and deflate mAP
+                raise ValueError(
+                    'crowd_mask_iou_full is required when the image has '
+                    'crowd annotations (see eval/device_metrics.py)')
+            cmiou = np.asarray(
+                crowd_mask_iou_full)[:num_pred, :n_gt_total]
             mask_iou_cache = miou[:, :-num_crowd]
             crowd_mask_iou = cmiou[:, -num_crowd:]
         else:

@@ -107,3 +107,60 @@ def traditional_nms(cfg: YolactConfig, boxes: np.ndarray, coeffs: np.ndarray,
     order = np.argsort(-out_scores, kind='stable')[:cfg.max_num_detections]
     idx = idx[order]
     return boxes[idx], coeffs[idx], classes[order], out_scores[order]
+
+
+class TraditionalPipeline:
+    """Drop-in Pipeline replacement for the host traditional-NMS path:
+    jitted forward (forward_raw) on device, greedy per-class NMS + mask
+    assembly on host.  Matches infer.Pipeline's InferenceOutput contract
+    (lincomb: proto-res cropped sigmoid masks; direct: mask_size patches).
+    """
+
+    def __init__(self, cfg: YolactConfig, variables,
+                 score_threshold: float = 0.0, preprocess: bool = False):
+        import jax
+        from functools import partial
+        from yolact_tpu.infer import forward_raw
+        from yolact_tpu.models.yolact import Yolact
+        self.cfg = cfg
+        self.variables = variables
+        self.score_threshold = score_threshold
+        self._raw_fn = jax.jit(partial(forward_raw, cfg, Yolact(cfg),
+                                       preprocess=preprocess))
+
+    def __call__(self, imgs):
+        from yolact_tpu.config import MaskType
+        from yolact_tpu.infer import InferenceOutput
+        cfg = self.cfg
+        out = self._raw_fn(self.variables, images=imgs)
+        boxes, scores, coeffs = (np.asarray(a) for a in out[:3])
+        proto = np.asarray(out[3]) if out[3] is not None else None
+        direct = cfg.mask_type == MaskType.DIRECT
+        B = boxes.shape[0]
+        D = cfg.max_num_detections
+        if direct:
+            Hp = Wp = cfg.mask_size
+        else:
+            Hp, Wp = proto.shape[1], proto.shape[2]
+        ob = np.zeros((B, D, 4), np.float32)
+        oc = np.zeros((B, D), np.int32)
+        os_ = np.full((B, D), -1.0, np.float32)
+        om = np.zeros((B, D, Hp, Wp), np.float32)
+        ov = np.zeros((B, D), bool)
+        for b in range(B):
+            bb, cc, cls, sc = traditional_nms(
+                cfg, boxes[b], coeffs[b], scores[b])
+            n = min(len(sc), D)
+            ob[b, :n] = bb[:n]
+            oc[b, :n] = cls[:n]
+            os_[b, :n] = sc[:n]
+            ov[b, :n] = sc[:n] > self.score_threshold \
+                if self.score_threshold > 0 else True
+            if n:
+                if direct:
+                    # mask field rows are already sigmoid mask patches
+                    om[b, :n] = cc[:n].reshape(n, Hp, Wp)
+                else:
+                    om[b, :n] = host_assemble_masks(proto[b], cc[:n],
+                                                    bb[:n])
+        return InferenceOutput(ob, oc, os_, om, ov, None)

@@ -128,6 +128,13 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
                        use_cross_class_nms: bool = False,
                        score_threshold: float = 0.0) -> InferenceOutput:
     """The full device program (jit me)."""
+    if not use_fast_nms:
+        # the greedy traditional NMS is host-side by design (sequential);
+        # silently running fast-NMS here would misreport benchmarks/mAP
+        raise NotImplementedError(
+            'use_fast_nms=False is the host traditional-NMS path: use '
+            'forward_raw + eval.traditional.traditional_nms (see '
+            'eval/evaluate.py), not forward_and_detect')
     if preprocess:
         x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
             else preprocess_device(cfg, images)
@@ -155,7 +162,13 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
 def forward_raw(cfg: YolactConfig, model: Yolact, variables: Dict,
                 images: jnp.ndarray, preprocess: bool = True):
     """Device program for the host (traditional) NMS path: returns
-    (decoded boxes [B,P,4], softmaxed fg scores [B,C-1,P], coeffs, proto)."""
+    (decoded boxes [B,P,4], fg scores [B,C-1,P], coeffs, proto).
+
+    Scores use the same eval-branch transform as :func:`detect`
+    (focal/objectness/mask-scoring aware); ``proto`` is None for
+    direct-mask configs (mask_type=0), whose 'mask' field already holds
+    flattened sigmoid mask patches."""
+    from yolact_tpu.detect.detection import eval_scores
     from yolact_tpu.ops.boxes import decode
     if preprocess:
         x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
@@ -168,13 +181,13 @@ def forward_raw(cfg: YolactConfig, model: Yolact, variables: Dict,
     else:
         x = images
     preds = model.apply(variables, x, train=False)
-    conf = jax.nn.softmax(preds['conf'].astype(jnp.float32), axis=-1)
+    conf = eval_scores(cfg, preds)
     scores = jnp.swapaxes(conf[..., 1:], 1, 2)
     boxes = decode(preds['loc'].astype(jnp.float32),
                    preds['priors'].astype(jnp.float32)[None],
                    cfg.use_yolo_regressors)
-    return boxes, scores, preds['mask'].astype(jnp.float32), \
-        preds['proto'].astype(jnp.float32)
+    proto = preds['proto'].astype(jnp.float32) if 'proto' in preds else None
+    return boxes, scores, preds['mask'].astype(jnp.float32), proto
 
 
 class Pipeline:
