@@ -159,11 +159,12 @@ def test_sgd_matches_torch(rng):
         tw.grad = torch.from_numpy(g.copy())
         opt.step()
 
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg)  # LR-free: train_step scales by lr itself
     params = {'w': w0.copy()}
     opt_state = tx.init(params)
     for g in grads:
         updates, opt_state = tx.update({'w': g}, opt_state, params)
+        updates = {'w': updates['w'] * cfg.lr}
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(params['w'], tw.detach().numpy(), atol=1e-5)
 
@@ -262,3 +263,32 @@ def test_train_step_stem_s2d_matches_plain(rng):
     w1 = np.asarray(s1.params['model']['backbone']['conv1']['conv']['kernel'])
     w2 = np.asarray(s2.params['model']['backbone']['conv1']['conv']['kernel'])
     np.testing.assert_allclose(w1, w2, atol=5e-6)
+
+
+def test_lr_follows_state_step_on_resume(trainer, rng):
+    """The lr schedule is driven by state.step, not optax's internal
+    update counter — a resumed/--start_iter run must NOT re-run warmup
+    (regression: scale_by_learning_rate's count restarted at 0)."""
+    from yolact_tpu.train.schedule import learning_rate
+    cfg, model, state, step = trainer
+    batch = make_batch(rng, cfg)
+    # jump past warmup as cli/train.py does on resume
+    state = state.replace(step=np.asarray(600, np.int32))
+    state2, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert float(losses['lr']) == pytest.approx(
+        float(learning_rate(cfg, 600)))
+    assert float(losses['lr']) == pytest.approx(cfg.lr)  # not warmup
+
+    # and the applied update actually uses that lr: param delta scales
+    # with lr (compare against a warmup-sized step from the same state)
+    w0 = np.asarray(state.params['model']['backbone']['conv1']['conv']['kernel'])
+    w_hi = np.asarray(
+        state2.params['model']['backbone']['conv1']['conv']['kernel'])
+    state_lo = state.replace(step=np.asarray(0, np.int32))
+    state3, losses3 = step(state_lo, batch, jax.random.PRNGKey(0))
+    w_lo = np.asarray(
+        state3.params['model']['backbone']['conv1']['conv']['kernel'])
+    hi_delta = np.abs(w_hi - w0).max()
+    lo_delta = np.abs(w_lo - w0).max()
+    ratio = cfg.lr / cfg.lr_warmup_init
+    assert hi_delta > lo_delta * ratio * 0.5, (hi_delta, lo_delta)

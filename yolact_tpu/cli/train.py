@@ -141,8 +141,10 @@ def train(argv=None):
         print(f'Resuming training from {path}...')
         if path.endswith('.pth'):
             variables = ckpt.load_weights(cfg, path)
-            state = state.replace(params=dict(state.params,
-                                              model=variables['params']),
+            new_params = dict(state.params, model=variables['params'])
+            if 'maskiou' in variables and 'maskiou' in state.params:
+                new_params['maskiou'] = variables['maskiou']['params']
+            state = state.replace(params=new_params,
                                   batch_stats=variables.get('batch_stats',
                                                             state.batch_stats))
         else:
@@ -152,6 +154,30 @@ def train(argv=None):
                 start_iter = ckpt.iteration_from_path(path)
             except Exception:
                 start_iter = int(state.step)
+    else:
+        # init_weights (yolact.py:492-547, train.py:211-213): pretrained
+        # backbone + focal conf-bias; non-backbone convs already carry
+        # xavier init from module creation (models/layers.py)
+        import os
+        from yolact_tpu.convert.backbone_import import (focal_bias_init,
+                                                        load_backbone_weights,
+                                                        merge_backbone)
+        variables = {'params': jax.device_get(state.params['model']),
+                     'batch_stats': jax.device_get(state.batch_stats)}
+        bb_path = os.path.join(args.save_folder, cfg.backbone.path)
+        if os.path.exists(bb_path):
+            print(f'Initializing weights from {bb_path}...')
+            variables = merge_backbone(variables,
+                                       load_backbone_weights(cfg, bb_path))
+        else:
+            print(f'Backbone weights {bb_path} not found; training the '
+                  'backbone from random init (the reference errors here — '
+                  'kept runnable for from-scratch/synthetic workflows).')
+        variables = focal_bias_init(cfg, variables)
+        state = state.replace(params=dict(state.params,
+                                          model=variables['params']),
+                              batch_stats=variables.get('batch_stats',
+                                                        state.batch_stats))
     state = state.replace(step=np.int32(start_iter))
 
     # 1-D data mesh over the largest device count dividing the batch
@@ -174,8 +200,15 @@ def train(argv=None):
     else:
         mesh = make_mesh(devices[:n_use])
     state = jax.device_put(state, replicate(mesh))
-    step_fn = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r),
-                      donate_argnums=(0,))
+
+    def make_step_fn(c):
+        # bind the config explicitly: jit bakes it into the trace, so
+        # delayed_settings must rebuild this (a closure over the loop's
+        # `cfg` variable would silently keep the ORIGINAL settings)
+        return jax.jit(lambda s, b, r: train_step(c, model, s, b, r),
+                       donate_argnums=(0,))
+
+    step_fn = make_step_fn(cfg)
 
     log = Log(cfg.name, args.log_folder,
               dict(args=vars(args), config_name=cfg.name),
@@ -207,7 +240,12 @@ def train(argv=None):
                     break
                 if iteration >= cfg.max_iter or interrupted['flag']:
                     break
-                cfg = apply_delayed_settings(cfg, iteration)
+                new_cfg = apply_delayed_settings(cfg, iteration)
+                if new_cfg is not cfg:
+                    print(f'(delayed settings applied at iter {iteration}; '
+                          'recompiling train step)')
+                    cfg = new_cfg
+                    step_fn = make_step_fn(cfg)
 
                 batch = loader.next_batch()
                 batch = shard_batch(mesh, batch)
@@ -224,7 +262,10 @@ def train(argv=None):
                     losses_np = {k: float(v) for k, v in losses.items()}
                     for k, v in losses_np.items():
                         if k not in ('total', 'lr'):
-                            loss_avgs.setdefault(k, MovingAverage(100)).add(v)
+                            # sampled every 10th iter (avoids a device
+                            # sync per step), so a 10-deep window spans
+                            # the reference's 100-iteration average
+                            loss_avgs.setdefault(k, MovingAverage(10)).add(v)
                     letters = [k for k in losses_np if k not in ('total', 'lr')]
                     eta = (cfg.max_iter - iteration) * time_avg.get_avg()
                     eta_str = str(int(eta // 3600)) + ':' + \
@@ -283,8 +324,13 @@ def compute_validation_map(cfg, state, args, log, epoch, iteration):
         return
     variables = {'params': jax.device_get(state.params['model']),
                  'batch_stats': jax.device_get(state.batch_stats)}
+    maskiou_vars = None
+    if cfg.use_maskiou and 'maskiou' in state.params:
+        # val mAP must rescore with the same head the final model ships
+        maskiou_vars = {'params': jax.device_get(state.params['maskiou'])}
     start = time.time()
     maps = evaluate_dataset(cfg, variables, val_dataset,
+                            maskiou_variables=maskiou_vars,
                             max_images=args.validation_size, quiet=False)
     if log is not None and maps is not None:
         log.log('val', box=maps['box'], mask=maps['mask'], epoch=epoch,

@@ -269,18 +269,6 @@ def convert_state_dict(cfg, sd: Dict[str, np.ndarray]):
     return out, unhandled
 
 
-def convert_backbone_state_dict(cfg, sd: Dict[str, np.ndarray]):
-    """Convert a backbone-only pretraining checkpoint (for init_weights).
-    Accepts torchvision-style ``layerN.`` keys or ``layers.N-1.`` keys."""
-    remapped = {}
-    for k, v in sd.items():
-        if re.match(r'layer\d\.', k):
-            idx = int(k[5])
-            k = f'layers.{idx - 1}' + k[6:]
-        remapped[f'backbone.{k}'] = v
-    return convert_state_dict(cfg, remapped)
-
-
 def load_pth(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth state dict to numpy (torch CPU only used for IO)."""
     import torch

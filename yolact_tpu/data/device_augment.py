@@ -278,7 +278,13 @@ def device_augment(cfg: YolactConfig, batch: Dict, rng) -> Dict:
             x = x - jnp.asarray(MEANS, jnp.float32)
         elif t.to_float:
             x = x / 255.0
-        x = x[..., ::-1]  # BGR -> RGB
+        # permute from BGR source to the backbone's channel order, like
+        # the host backbone_transform (augmentations.py:584-588) — NOT a
+        # hardcoded flip, so channel_order='BGR' backbones train on the
+        # same channels the host path feeds them
+        channel_map = {c: i for i, c in enumerate('BGR')}
+        perm = [channel_map[c] for c in t.channel_order]
+        x = x[..., jnp.asarray(perm)]
 
         return x, ob, new_labels, (out_masks > 0.5).astype(jnp.uint8)
 

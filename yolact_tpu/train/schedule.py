@@ -50,9 +50,15 @@ def apply_delayed_settings(cfg: YolactConfig, iteration: int) -> YolactConfig:
     returns the config with every delayed setting whose iteration has passed
     folded in."""
     changes = {}
+    remaining = []
     for it, kv in cfg.delayed_settings:
         if iteration >= it:
             changes.update(dict(kv))
+        else:
+            remaining.append((it, kv))
     if not changes:
         return cfg
-    return cfg.copy(**changes)
+    # consume the applied entries (the reference pops them,
+    # train.py:283-285) so subsequent calls return cfg UNCHANGED —
+    # callers key "recompile the jitted step" off object identity
+    return cfg.copy(delayed_settings=tuple(remaining), **changes)

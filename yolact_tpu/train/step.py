@@ -11,7 +11,6 @@ over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -35,26 +34,25 @@ class TrainState(struct.PyTreeNode):
     # (reference keeps these as MultiBoxLoss module state)
     conf_state: Any = None
 
-    def apply_gradients(self, grads):
-        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        return self.replace(step=self.step + 1,
-                            params=optax.apply_updates(self.params, updates),
-                            opt_state=new_opt)
-
 
 def make_optimizer(cfg: YolactConfig) -> optax.GradientTransformation:
     """torch-SGD-equivalent: buf = m*buf + (g + wd*w); p -= lr*buf
-    (train.py:216-217)."""
+    (train.py:216-217).
+
+    The returned transformation is LR-FREE (scale(-1) only): train_step
+    multiplies updates by ``learning_rate(cfg, state.step)``.  Driving
+    the schedule from state.step instead of optax's internal update
+    counter keeps resumed / --start_iter runs on the right lr (the
+    internal counter restarts at 0 and would re-run warmup)."""
     return optax.chain(
         optax.add_decayed_weights(cfg.decay),
         optax.trace(decay=cfg.momentum, nesterov=False),
-        optax.scale_by_learning_rate(lambda step: learning_rate(cfg, step)),
+        optax.scale(-1.0),
     )
 
 
 def _freeze_bn_grads(grads):
     """Zero gradients of BatchNorm scale/bias (freeze_bn, yolact.py:555-562)."""
-    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     def zero_bn(path, g):
         keys = [getattr(p, 'key', '') for p in path]
         return jnp.zeros_like(g) if 'bn' in keys else g
@@ -157,6 +155,8 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
     grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)),
                          grads)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    lr = learning_rate(cfg, state.step)  # resume-safe: from state.step
+    updates = jax.tree.map(lambda u: lr * u, updates)
     if cfg.freeze_bn:
         # frozen params get NO update at all — torch skips params whose
         # .grad is None, so weight decay doesn't touch them either
@@ -165,20 +165,13 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
                               params=optax.apply_updates(state.params, updates),
                               opt_state=new_opt)
     new_state = new_state.replace(conf_state=new_conf_state)
-    # iteration still advances on a skipped step, like the reference loop
+    # iteration still advances on a skipped step, like the reference loop.
+    # batch_stats roll back too on a non-finite step — the reference's BN
+    # running stats are poisoned forever by one NaN forward (torch updates
+    # them during forward regardless); no reason to preserve that failure
     new_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
                              new_state.replace(batch_stats=new_stats),
-                             state.replace(batch_stats=new_stats,
-                                           step=new_state.step,
+                             state.replace(step=new_state.step,
                                            conf_state=new_conf_state))
-    losses = dict(losses, total=total,
-                  lr=learning_rate(cfg, state.step))
+    losses = dict(losses, total=total, lr=lr)
     return new_state, losses
-
-
-def make_jitted_train_step(cfg: YolactConfig, model: Yolact, mesh=None,
-                           donate: bool = True):
-    """jit the step; with a mesh, inputs arrive batch-sharded and params
-    replicated (see parallel.mesh)."""
-    fn = partial(train_step, cfg, model)
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -125,6 +125,21 @@ class LogVisualizer:
                 out.append(v)
         return out
 
+    def query_joined(self, queries, entry_type: Optional[str] = None
+                     ) -> List[tuple]:
+        """Resolve several queries PER ENTRY, keeping only entries where
+        all resolve — unlike independent query() calls, values stay
+        paired when some entries lack a key (the reference extracts
+        (x, y) from the same entry, logger.py:174-187)."""
+        out = []
+        for e in self.logs:
+            if entry_type is not None and e.get('type') != entry_type:
+                continue
+            vals = tuple(self._resolve(e, q) for q in queries)
+            if all(v is not None for v in vals):
+                out.append(vals)
+        return out
+
     def sessions(self) -> List[dict]:
         return [e for e in self.logs if e.get('type') == 'session']
 
@@ -136,28 +151,30 @@ class LogVisualizer:
             values_query: Union[str, Callable], entry_type: str = 'val',
             out_path: Optional[str] = None):
         """Bar chart over matching entries (logger.py bar command)."""
-        labels = self.query(labels_query, entry_type)
-        values = self.query(values_query, entry_type)
+        pairs = self.query_joined((labels_query, values_query), entry_type)
+        labels = [p[0] for p in pairs]
+        values = [p[1] for p in pairs]
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
         plt.figure()
-        n = min(len(labels), len(values))
-        plt.bar(range(n), values[:n])
-        plt.xticks(range(n), [str(l) for l in labels[:n]], rotation=45)
+        n = len(values)
+        plt.bar(range(n), values)
+        plt.xticks(range(n), [str(l) for l in labels], rotation=45)
         if out_path:
             plt.savefig(out_path)
         return plt.gcf()
 
     def plot(self, x_query: str, y_query: str, entry_type: str = 'train',
              out_path: Optional[str] = None):
-        xs = self.query(x_query, entry_type)
-        ys = self.query(y_query, entry_type)
+        pairs = self.query_joined((x_query, y_query), entry_type)
+        xs = [p[0] for p in pairs]
+        ys = [p[1] for p in pairs]
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
         plt.figure()
-        plt.plot(xs[:len(ys)], ys[:len(xs)])
+        plt.plot(xs, ys)
         plt.xlabel(x_query)
         plt.ylabel(y_query)
         if out_path:
