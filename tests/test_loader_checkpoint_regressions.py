@@ -115,3 +115,14 @@ def test_prune_keeps_interrupt(tmp_path):
     assert 'tiny_2_150_interrupt.ckpt' in left   # never auto-pruned
     assert 'tiny_2_200.ckpt' in left             # latest kept
     assert 'tiny_1_100.ckpt' not in left         # pruned
+
+
+def test_loader_pack_images_uint8():
+    """pack_images ships raw-pixel batches as uint8 (4x less host->device
+    transfer on the device-augment path)."""
+    from yolact_tpu.data.loader import BatchLoader
+    loader = BatchLoader(_FakeDataset(n=8), batch_size=4, num_workers=1,
+                         pack_images=True)
+    batch = loader.next_batch()
+    assert batch['image'].dtype == np.uint8
+    loader.stop()

@@ -130,7 +130,8 @@ def train(argv=None):
         cfg.dataset.train_images, cfg.dataset.train_info,
         transform=transform, dataset_cfg=cfg.dataset)
     loader = BatchLoader(dataset, args.batch_size, max_gt=args.max_gt,
-                         num_workers=args.num_workers)
+                         num_workers=args.num_workers,
+                         pack_images=cfg.use_device_augment)
 
     model, state = create_train_state(cfg)
     start_iter = max(args.start_iter, 0)

@@ -36,7 +36,8 @@ class BatchLoader:
     def __init__(self, dataset: COCODetection, batch_size: int,
                  max_gt: int = 100, shuffle: bool = True,
                  num_workers: int = 2, prefetch: int = 4, seed: int = 0,
-                 drop_last: bool = True, pack_masks: bool = True):
+                 drop_last: bool = True, pack_masks: bool = True,
+                 pack_images: bool = False):
         if len(dataset) < batch_size and drop_last:
             raise ValueError(
                 f'dataset has {len(dataset)} items < batch_size '
@@ -50,6 +51,10 @@ class BatchLoader:
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.pack_masks = pack_masks
+        # raw-pixel batches (use_device_augment) can ship as uint8: 4x
+        # less host->device transfer; device_augment casts to f32 on chip.
+        # Only valid when images are raw [0,255] (NOT host-normalized)
+        self.pack_images = pack_images
         self._stop = threading.Event()
         self._batch_queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         # bounded: backpressure for the feeder, which otherwise enqueues
@@ -80,6 +85,9 @@ class BatchLoader:
                 batch = pad_batch(imgs, targets, masks, crowds, self.max_gt)
                 if self.pack_masks:
                     batch = pack_batch_masks(batch)
+                if self.pack_images:
+                    batch['image'] = np.clip(
+                        np.round(batch['image']), 0, 255).astype(np.uint8)
             except BaseException as e:  # propagate to the consumer
                 batch = _WorkerError(e)
             while not self._stop.is_set():

@@ -113,6 +113,8 @@ def train_step(cfg: YolactConfig, model: Yolact, state: TrainState,
         batch = device_augment(cfg, batch, aug_rng)
 
     image = batch['image']
+    if image.dtype != jnp.float32:   # uint8 raw transport (loader
+        image = image.astype(jnp.float32)  # pack_images) casts on chip
     if cfg.stem_s2d:
         # the loader/augment pipeline emits normalized RGB images; the
         # s2d stem consumes raw-order space-to-depth (models/layers.py)
