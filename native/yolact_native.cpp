@@ -61,22 +61,28 @@ int64_t rle_decode_counts(const char* s, int64_t n, uint32_t* out) {
 }
 
 // Decode counts straight into a column-major byte mask of h*w pixels.
-// Returns 0 on success, -1 if the runs overflow the mask.
+// Returns 0 on success, -1 if the runs overflowed the mask (the mask is
+// still filled with the clamped runs; pycocotools raises in this case,
+// so the Python wrapper surfaces the -1 as an error).
 int32_t rle_decode_mask(const char* s, int64_t n, int64_t h, int64_t w,
                         uint8_t* mask) {
   std::vector<uint32_t> counts(n + 1);
   int64_t m = rle_decode_counts(s, n, counts.data());
   int64_t pos = 0, total = h * w;
   uint8_t v = 0;
+  int32_t rc = 0;
   for (int64_t i = 0; i < m; i++) {
     int64_t run = counts[i];
-    if (pos + run > total) run = total - pos;
+    if (pos + run > total) {
+      run = total - pos;
+      rc = -1;  // annotation runs exceed h*w (corrupt or swapped dims)
+    }
     if (run > 0) memset(mask + pos, v, run);
     pos += run;
     v = 1 - v;
   }
   if (pos < total) memset(mask + pos, 0, total - pos);
-  return 0;
+  return rc;
 }
 
 // ---------------------------------------------------------------------------

@@ -58,3 +58,21 @@ def test_priors_plus_no_square():
     pr = A.generate_priors(cfg)
     assert pr.shape == (3 * 3 * (69**2 + 35**2 + 18**2 + 9**2 + 5**2), 4)
     assert not np.allclose(pr[:, 2], pr[:, 3])
+
+
+def test_fast_level_priors_matches_reference_loop():
+    """_fast_level_priors claims identical output to the loop-form
+    _level_priors (the executable spec) — enforce it so the pair can't
+    silently desynchronize."""
+    from yolact_tpu.config import get_config
+    from yolact_tpu.ops import anchors as A
+
+    for name in ('yolact_base', 'yolact_plus_resnet50', 'yolact_vgg16'):
+        cfg = get_config(name)
+        for i, _ in enumerate(cfg.backbone.pred_scales):
+            ars = cfg.backbone.pred_aspect_ratios[i]
+            scales = cfg.backbone.pred_scales[i]
+            for size in (9, 18):
+                slow = A._level_priors(size, size, ars, scales, cfg)
+                fast = A._fast_level_priors(size, size, ars, scales, cfg)
+                np.testing.assert_array_equal(slow, fast, err_msg=name)

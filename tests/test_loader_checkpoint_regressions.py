@@ -126,3 +126,45 @@ def test_loader_pack_images_uint8():
     batch = loader.next_batch()
     assert batch['image'].dtype == np.uint8
     loader.stop()
+
+
+def test_load_checkpoint_migrates_old_optimizer_chain(tmp_path):
+    """A checkpoint saved with the pre-round-2 optimizer chain (lr
+    schedule INSIDE optax -> ScaleByScheduleState(count)) must load into
+    the new chain (lr applied in train_step), keeping the momentum
+    trace and dropping the stale schedule count."""
+    import jax
+    import optax
+    from flax import serialization
+    from yolact_tpu.train import checkpoint as ckpt
+    from yolact_tpu.train.step import create_train_state
+
+    cfg = tiny_resnet_config()
+    _, state = create_train_state(cfg, seed=0)
+
+    # simulate the OLD chain's opt_state blob
+    old_tx = optax.chain(
+        optax.add_decayed_weights(cfg.decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        optax.scale_by_learning_rate(lambda s: 1e-3))
+    old_opt = old_tx.init(state.params)
+    # give the trace recognizable values
+    old_opt = jax.tree.map(lambda x: x + 1.0 if x.dtype == np.float32 else x,
+                           old_opt)
+    blob = {
+        'step': np.asarray(7),
+        'params': jax.tree.map(np.asarray, state.params),
+        'batch_stats': jax.tree.map(np.asarray, state.batch_stats),
+        'opt_state': serialization.to_state_dict(
+            jax.tree.map(np.asarray, old_opt)),
+    }
+    path = str(tmp_path / 'tiny_1_7.ckpt')
+    with open(path, 'wb') as f:
+        f.write(serialization.msgpack_serialize(blob))
+
+    restored = ckpt.load_checkpoint(path, state)
+    assert int(restored.step) == 7
+    # momentum trace survived the migration
+    tr = restored.opt_state[1].trace['model']['backbone']['conv1']['conv'][
+        'kernel']
+    assert float(np.asarray(tr).min()) == pytest.approx(1.0)

@@ -189,3 +189,35 @@ def test_prototypes_as_features_parity(ref):
         np.testing.assert_allclose(
             np.asarray(ours[key]), ref_out[key].numpy(), atol=atol,
             err_msg=key)
+
+
+def test_yolo_regressor_head_parity(ref):
+    """use_yolo_regressors squashes the head's xy output
+    (sigmoid - 0.5, / conv size, yolact.py:185-188) — oracle the 'loc'
+    output against the reference with the flag ON."""
+    ref_yolact, ref_config = ref
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _tiny import tiny_resnet_config
+
+    saved = ref_config.Config(vars(ref_config.cfg).copy())
+    ref_config.cfg.replace(tiny_ref_cfg(ref_config))
+    ref_config.cfg.replace(ref_config.cfg.copy(
+        {'use_yolo_regressors': True}))
+    try:
+        torch.manual_seed(3)
+        net = ref_yolact.Yolact()
+        net.train()
+
+        from yolact_tpu.convert.torch_import import convert_state_dict
+        cfg = tiny_resnet_config(use_yolo_regressors=True)
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        variables, unhandled = convert_state_dict(cfg, sd)
+        assert not unhandled
+
+        ref_out, ours = _run_both(cfg, net, variables, seed=3)
+        np.testing.assert_allclose(np.asarray(ours['loc']),
+                                   ref_out['loc'].numpy(), atol=2e-4)
+        # xy really is squashed into (-0.5, 0.5)/conv form, not raw
+        assert float(np.abs(np.asarray(ours['loc'])[..., :2]).max()) < 0.5
+    finally:
+        ref_config.cfg.replace(saved)

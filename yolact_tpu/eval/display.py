@@ -53,9 +53,12 @@ def display_lincomb(proto_data: np.ndarray, coeffs: np.ndarray,
     return grid
 
 
-def get_color(j: int, classes: Sequence[int], class_color: bool = False,
+def get_color(rank: int, class_id: int, class_color: bool = False,
               bgr: bool = False):
-    color_idx = (int(classes[j]) * 5 if class_color else j * 5) % len(COLORS)
+    """Color by display rank, or by class id when class_color (the
+    reference indexes its score-sorted arrays by rank; here detections
+    arrive unsorted, so the caller passes the detection's class id)."""
+    color_idx = (int(class_id) * 5 if class_color else rank * 5) % len(COLORS)
     color = COLORS[color_idx]
     return (color[2], color[1], color[0]) if bgr else color
 
@@ -87,11 +90,11 @@ def draw_detections(cfg: YolactConfig, img_bgr: np.ndarray,
     if display_masks and n > 0:
         # iterative form of the reference's cumprod compositing
         # (eval.py:199-209): img = img*inv_a[j] + color[j]*a*mask[j]
-        for j in order[::-1]:
+        for rank in reversed(range(n)):
+            j = order[rank]
             m = masks[j].astype(np.float32)[..., None]
-            color = np.array(get_color(int(np.where(order == j)[0][0]),
-                                       classes, class_color, bgr=True),
-                             np.float32) / 255.0
+            color = np.array(get_color(rank, int(classes[j]), class_color,
+                                       bgr=True), np.float32) / 255.0
             img = img * (1 - m * mask_alpha) + m * mask_alpha * color
 
     img_numpy = (img * 255).astype(np.uint8)
@@ -111,7 +114,7 @@ def draw_detections(cfg: YolactConfig, img_bgr: np.ndarray,
         for rank in reversed(range(n)):
             j = order[rank]
             x1, y1, x2, y2 = (int(v) for v in boxes_abs[j])
-            color = get_color(rank, classes, class_color, bgr=True)
+            color = get_color(rank, int(classes[j]), class_color, bgr=True)
             score = scores[j]
             if display_bboxes:
                 cv2.rectangle(img_numpy, (x1, y1), (x2, y2), color, 1)

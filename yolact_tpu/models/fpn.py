@@ -62,7 +62,12 @@ class FPN(nn.Module):
                 out.append(out[-1][:, ::2, ::2, :])
 
         if fc.relu_downsample_layers:
+            # reference quirk (yolact.py:357-359): the relu'd DOWNSAMPLE
+            # outputs overwrite pyramid slots 0..num_downsample-1 —
+            # out[idx] = relu(out[idx + cur_idx]).  Clearly unintended
+            # upstream (and unused by every shipped config), reproduced
+            # op-for-op like the other bug-compat flags
             for i in range(len(out) - cur):
-                out[cur + i] = jax.nn.relu(out[cur + i])
+                out[i] = jax.nn.relu(out[cur + i])
 
         return tuple(out)

@@ -63,7 +63,7 @@ class PredictionHead(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, head_index: int = 0):
+    def __call__(self, x, head_index: int = 0, train: bool = False):
         cfg = self.cfg
         num_classes = cfg.num_classes
         mask_dim = cfg.mask_dim
@@ -85,7 +85,7 @@ class PredictionHead(nn.Module):
             b = Conv(x.shape[-1], 1, 1, 0, dtype=self.dtype,
                      name='pm_conv')(x)
             from yolact_tpu.models.layers import BatchNorm
-            b = BatchNorm(dtype=self.dtype, name='pm_bn')(b, False)
+            b = BatchNorm(dtype=self.dtype, name='pm_bn')(b, train)
             x = a + jax.nn.relu(b)
 
         hp = cfg.head_layer_params_dict
@@ -106,6 +106,13 @@ class PredictionHead(nn.Module):
         B = x.shape[0]
         bbox = Conv(self.num_priors * 4, k, 1, p, dtype=self.dtype,
                     name='bbox_layer')(bbox_x).reshape(B, -1, 4)
+        if cfg.use_yolo_regressors:
+            # squash xy to (-0.5, 0.5) cells then normalize by the conv
+            # grid (yolact.py:185-188); decode() consumes this form
+            conv_h, conv_w = x.shape[1], x.shape[2]
+            xy = jax.nn.sigmoid(bbox[..., :2]) - 0.5
+            xy = xy / jnp.asarray([conv_w, conv_h], xy.dtype)
+            bbox = jnp.concatenate([xy, bbox[..., 2:]], axis=-1)
         conf = Conv(self.num_priors * num_classes, k, 1, p, dtype=self.dtype,
                     name='conf_layer')(conf_x).reshape(B, -1, num_classes)
 

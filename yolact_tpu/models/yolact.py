@@ -142,7 +142,7 @@ class Yolact(nn.Module):
                 pf = resize_bilinear_torch(pf, head_x.shape[1:3])
                 proto_feat = jnp.transpose(pf, (0, 2, 3, 1)).astype(dtype)
                 head_x = jnp.concatenate([head_x, proto_feat], axis=-1)
-            preds.append(head(head_x, head_index=idx))
+            preds.append(head(head_x, head_index=idx, train=bn_train))
 
         pred_outs: Dict[str, Any] = {
             k: jnp.concatenate([p[k] for p in preds], axis=1)
@@ -189,7 +189,10 @@ def init_params(cfg: YolactConfig, seed: int = 0, img_size: Optional[int] = None
     """Initialise model variables with a dummy batch (shape-only trace)."""
     model = Yolact(cfg)
     size = img_size or cfg.max_size
-    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    # s2d stems consume a 2x2 space-to-depth input at half resolution
+    # (matches train/step.py:create_train_state and infer.Pipeline)
+    dummy = jnp.zeros((1, size // 2, size // 2, 12) if cfg.stem_s2d
+                      else (1, size, size, 3), jnp.float32)
     return model, model.init(jax.random.PRNGKey(seed), dummy, train=train)
 
 

@@ -57,9 +57,15 @@ class Native:
 
     def rle_decode_mask(self, s: bytes, h: int, w: int) -> np.ndarray:
         mask = np.empty(h * w, np.uint8)
-        self._lib.rle_decode_mask(
+        rc = self._lib.rle_decode_mask(
             s, len(s), h, w,
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            # pycocotools raises here too — a silently truncated gt mask
+            # corrupts training/eval with no diagnostic
+            raise ValueError(
+                f'RLE runs exceed mask size {h}x{w} (corrupt annotation '
+                'or swapped height/width)')
         return mask.reshape((h, w), order='F').astype(bool)
 
     def greedy_nms(self, dets: np.ndarray, thresh: float) -> np.ndarray:
@@ -81,10 +87,15 @@ def _build() -> Optional[str]:
     if not os.path.exists(src):
         return None
     try:
+        # compile to a per-pid temp then atomically rename: concurrent
+        # processes (parallel eval shards) must never CDLL a half-written
+        # .so (the in-process _lock can't exclude other processes)
+        tmp = f'{so}.{os.getpid()}.tmp'
         subprocess.run(['g++', '-O3', '-fPIC', '-std=c++17', '-shared',
-                        '-o', so, src], check=True, capture_output=True)
+                        '-o', tmp, src], check=True, capture_output=True)
+        os.replace(tmp, so)
         return so
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
 
 

@@ -65,13 +65,31 @@ def load_checkpoint(path: str, state):
     target.pop('conf_state', None)
     has_conf = 'conf_state' in blob
     conf_blob = blob.pop('conf_state', None)
+    opt_blob = blob.pop('opt_state')
+    target.pop('opt_state', None)
     restored = serialization.from_state_dict(target, blob)
+    try:
+        opt_state = serialization.from_state_dict(state.opt_state, opt_blob)
+    except (ValueError, KeyError):
+        # the optimizer chain changed shape between save and load (e.g.
+        # the lr schedule moved out of optax): restore the elements that
+        # still match (the momentum trace is what matters) and keep
+        # fresh state for the rest
+        elems = []
+        for i, elem in enumerate(state.opt_state):
+            sub = opt_blob.get(str(i)) if isinstance(opt_blob, dict) else None
+            try:
+                elems.append(serialization.from_state_dict(elem, sub))
+            except Exception:
+                elems.append(elem)
+        opt_state = tuple(elems)
+        print('(checkpoint optimizer state partially migrated: chain '
+              'structure changed since the save)')
     state = state.replace(
         step=jax.numpy.asarray(restored['step']),
         params=restored['params'],
         batch_stats=restored['batch_stats'],
-        opt_state=serialization.from_state_dict(state.opt_state,
-                                                blob['opt_state']))
+        opt_state=opt_state)
     if has_conf and getattr(state, 'conf_state', None) is not None:
         state = state.replace(conf_state=serialization.from_state_dict(
             jax.tree.map(np.asarray, state.conf_state), conf_blob))
