@@ -128,6 +128,12 @@ def spec_priors(scales=None, aspect_ratios=None, conv_sizes=None
         axis=0)
 
 
+def center_size_to_pt(cs: np.ndarray) -> np.ndarray:
+    """[N,4] (cx, cy, w, h) -> (x1, y1, x2, y2)."""
+    return np.concatenate([cs[:, :2] - cs[:, 2:] / 2,
+                           cs[:, :2] + cs[:, 2:] / 2], axis=1)
+
+
 def config_priors_pt(config_name: str) -> np.ndarray:
     """A registered config's real priors in relative point form."""
     import sys
@@ -135,5 +141,4 @@ def config_priors_pt(config_name: str) -> np.ndarray:
     from yolact_tpu.config import get_config
     from yolact_tpu.ops.anchors import generate_priors
     cs = generate_priors(get_config(config_name)).astype(np.float64)
-    return np.concatenate([cs[:, :2] - cs[:, 2:] / 2,
-                           cs[:, :2] + cs[:, 2:] / 2], axis=1)
+    return center_size_to_pt(cs)

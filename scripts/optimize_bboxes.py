@@ -29,7 +29,8 @@ from scipy.optimize import minimize
 sys.path.insert(0, '.')
 from scripts._bbox_io import (DEFAULT_ASPECT_RATIOS, DEFAULT_CONV_SIZES,  # noqa: E402
                               DEFAULT_SCALES, best_iou_chunked,
-                              load_rel_dump, make_priors_spec)
+                              center_size_to_pt, load_rel_dump,
+                              make_priors_spec)
 
 
 def compute_hits(boxes, anchors, thresh=0.5):
@@ -130,9 +131,7 @@ def optimize_config_scales(boxes, config_name, maxiter=60):
         c = cfg.copy(backbone=cfg.backbone.copy(
             pred_scales=tuple((float(s),) for s in scales)))
         cs = generate_priors(c).astype(np.float64)
-        pt = np.concatenate([cs[:, :2] - cs[:, 2:] / 2,
-                             cs[:, :2] + cs[:, 2:] / 2], axis=1)
-        return best_iou_chunked(sample, pt).mean()
+        return best_iou_chunked(sample, center_size_to_pt(cs)).mean()
 
     def neg(log_s):
         return -mean_best_iou(np.exp(log_s))

@@ -39,6 +39,47 @@ def test_traditional_nms_suppresses_overlaps(rng):
     assert len(s) == 1 and cls[0] == 0
 
 
+def test_traditional_pipeline_maskiou_rescoring(rng):
+    """--fast_nms=False must apply YOLACT++ maskiou rescoring: the
+    reference does it in postprocess (output_utils.py:79-88) so it covers
+    BOTH NMS variants.  Regression: the traditional path silently dropped
+    it, deviating plus-config mAP."""
+    import jax
+    import jax.numpy as jnp
+    from yolact_tpu.eval.traditional import TraditionalPipeline
+    from yolact_tpu.infer import random_variables
+    from yolact_tpu.models.yolact import MaskIoUHead
+
+    cfg = tiny_resnet_config(use_maskiou=True,
+                             maskiou_net=((8, 3, (('stride', 2),)),))
+    variables = random_variables(cfg)
+    Hp = cfg.max_size // 4
+    miou_vars = MaskIoUHead(cfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, Hp, Hp, 1), jnp.float32))
+
+    img = (rng.rand(1, cfg.max_size, cfg.max_size, 3) * 255).astype(
+        np.float32)
+    pipe = TraditionalPipeline(cfg, variables, preprocess=True,
+                               maskiou_variables=miou_vars)
+    out = pipe(img)
+    assert out.mask_scores is not None
+
+    # wiring check vs an independent application of the maskiou net on
+    # the pipeline's own assembled masks (classes gather + score product)
+    B, D, hp, wp = out.masks.shape
+    iou_p = np.asarray(MaskIoUHead(cfg).apply(
+        miou_vars, jnp.asarray(out.masks.reshape(B * D, hp, wp, 1)))
+    ).reshape(B, D, -1)
+    cls = np.clip(out.classes, 0, iou_p.shape[-1] - 1)
+    sel = np.take_along_axis(iou_p, cls[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(out.mask_scores, out.scores * sel,
+                               rtol=1e-5, atol=1e-6)
+
+    # without maskiou variables the field stays None (non-plus parity)
+    out2 = TraditionalPipeline(cfg, variables, preprocess=True)(img)
+    assert out2.mask_scores is None
+
+
 @pytest.fixture(scope='module')
 def tiny_ckpt(tmp_path_factory):
     """Random-weight tiny checkpoint on disk + matching config name."""

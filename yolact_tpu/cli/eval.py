@@ -112,8 +112,25 @@ def load_model(args):
     return cfg, variables, maskiou_vars
 
 
-def evalimage(cfg, variables, maskiou_vars, args, path: str,
-              save_path=None):
+def make_image_pipeline(cfg, variables, maskiou_vars, args):
+    """One jitted pipeline reused across images (a fresh Pipeline per file
+    would recompile the whole model for every frame of --images)."""
+    from yolact_tpu.infer import Pipeline
+
+    if args.fast_nms:
+        return Pipeline(cfg, variables, maskiou_variables=maskiou_vars,
+                        preprocess=True,
+                        use_cross_class_nms=args.cross_class_nms,
+                        score_threshold=args.score_threshold)
+    # host greedy per-class NMS (the reference's --fast_nms=False)
+    from yolact_tpu.eval.traditional import TraditionalPipeline
+    return TraditionalPipeline(cfg, variables,
+                               score_threshold=args.score_threshold,
+                               preprocess=True,
+                               maskiou_variables=maskiou_vars)
+
+
+def evalimage(cfg, variables, args, pipeline, path: str, save_path=None):
     """Single-image inference (eval.py:595-610)."""
     import cv2
     import numpy as np
@@ -122,35 +139,35 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
                                                finish_masks_direct)
     from yolact_tpu.eval.display import draw_detections
     from yolact_tpu.eval.evaluate import sanitize_boxes_np
-    from yolact_tpu.infer import Pipeline
 
     img = cv2.imread(path)
     h, w = img.shape[:2]
-    if args.fast_nms:
-        pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_vars,
-                            preprocess=True,
-                            use_cross_class_nms=args.cross_class_nms,
-                            score_threshold=args.score_threshold)
-    else:
-        # host greedy per-class NMS (the reference's --fast_nms=False)
-        from yolact_tpu.eval.traditional import TraditionalPipeline
-        pipeline = TraditionalPipeline(cfg, variables,
-                                       score_threshold=args.score_threshold,
-                                       preprocess=True)
     out = pipeline(img.astype(np.float32)[None])
 
     if args.display_lincomb:
-        # prototype-combination debug viz (output_utils.py:147-189)
-        from yolact_tpu.detect.detection import detect as detect_fn
-        from yolact_tpu.eval.display import display_lincomb
-        from yolact_tpu.infer import preprocess_device
-        from yolact_tpu.models.yolact import Yolact
-        preds = Yolact(cfg).apply(
-            variables, preprocess_device(cfg, img.astype(np.float32)[None]))
-        d = detect_fn(cfg, preds)
-        display_lincomb(np.asarray(d.proto[0]), np.asarray(d.masks[0]),
-                        out_path=os.path.splitext(path)[0] + '_lincomb.png')
+        if cfg.mask_type == MaskType.DIRECT:
+            print('--display_lincomb: direct-mask config has no prototype '
+                  'combination to display; skipping')
+        else:
+            # prototype-combination debug viz (output_utils.py:147-189)
+            from yolact_tpu.detect.detection import detect as detect_fn
+            from yolact_tpu.eval.display import display_lincomb
+            from yolact_tpu.infer import (preprocess_device,
+                                          preprocess_device_s2d)
+            from yolact_tpu.models.yolact import Yolact
+            pre = preprocess_device_s2d if cfg.stem_s2d else preprocess_device
+            preds = Yolact(cfg).apply(
+                variables, pre(cfg, img.astype(np.float32)[None]))
+            d = detect_fn(cfg, preds)
+            display_lincomb(np.asarray(d.proto[0]), np.asarray(d.masks[0]),
+                            out_path=os.path.splitext(path)[0]
+                            + '_lincomb.png')
     n = int(np.asarray(out.valid[0]).sum())
+    # the reference's prep_display forces rescore_bbox=True during display
+    # (eval.py:147-149), so plus configs show maskiou-rescored scores
+    scores = np.asarray(out.scores[0])[:n]
+    if out.mask_scores is not None and cfg.rescore_mask:
+        scores = np.asarray(out.mask_scores[0])[:n]
     boxes_abs = sanitize_boxes_np(np.asarray(out.boxes[0])[:n], w, h)
     if cfg.mask_type == MaskType.DIRECT:
         # box-local patches, not canvas-global proto masks
@@ -161,7 +178,7 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
         masks = finish_masks(np.asarray(out.masks[0])[:n], w, h)
     drawn = draw_detections(
         cfg, img, np.asarray(out.classes[0])[:n],
-        np.asarray(out.scores[0])[:n], boxes_abs, masks,
+        scores, boxes_abs, masks,
         top_k=args.top_k, score_threshold=args.score_threshold,
         display_masks=args.display_masks, display_bboxes=args.display_bboxes,
         display_text=args.display_text, display_scores=args.display_scores)
@@ -173,10 +190,11 @@ def evalimage(cfg, variables, maskiou_vars, args, path: str,
 
 def evalimages(cfg, variables, maskiou_vars, args, inp: str, out: str):
     os.makedirs(out, exist_ok=True)
+    pipeline = make_image_pipeline(cfg, variables, maskiou_vars, args)
     for name in sorted(os.listdir(inp)):
         path = os.path.join(inp, name)
         save = os.path.join(out, os.path.splitext(name)[0] + '.png')
-        evalimage(cfg, variables, maskiou_vars, args, path, save)
+        evalimage(cfg, variables, args, pipeline, path, save)
     print('Done.')
 
 
@@ -189,11 +207,12 @@ def main(argv=None):
     print('Model loaded.\n')
 
     if args.image is not None:
+        pipeline = make_image_pipeline(cfg, variables, maskiou_vars, args)
         if ':' in args.image:
             inp, out = args.image.split(':')
-            evalimage(cfg, variables, maskiou_vars, args, inp, out)
+            evalimage(cfg, variables, args, pipeline, inp, out)
         else:
-            evalimage(cfg, variables, maskiou_vars, args, args.image)
+            evalimage(cfg, variables, args, pipeline, args.image)
         return
     if args.images is not None:
         inp, out = args.images.split(':')

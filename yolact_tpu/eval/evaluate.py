@@ -116,7 +116,8 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
         from yolact_tpu.eval.traditional import TraditionalPipeline
         pipeline = TraditionalPipeline(cfg, variables,
                                        score_threshold=score_threshold,
-                                       preprocess=False)
+                                       preprocess=False,
+                                       maskiou_variables=maskiou_variables)
 
     dataset_size = len(dataset) if max_images < 0 else \
         min(max_images, len(dataset))

@@ -117,9 +117,11 @@ class TraditionalPipeline:
     """
 
     def __init__(self, cfg: YolactConfig, variables,
-                 score_threshold: float = 0.0, preprocess: bool = False):
+                 score_threshold: float = 0.0, preprocess: bool = False,
+                 maskiou_variables=None):
         import jax
         from functools import partial
+        from yolact_tpu.config import MaskType
         from yolact_tpu.infer import forward_raw
         from yolact_tpu.models.yolact import Yolact
         self.cfg = cfg
@@ -127,6 +129,17 @@ class TraditionalPipeline:
         self.score_threshold = score_threshold
         self._raw_fn = jax.jit(partial(forward_raw, cfg, Yolact(cfg),
                                        preprocess=preprocess))
+        # YOLACT++ maskiou rescoring runs in postprocess in the reference
+        # (output_utils.py:79-88) and therefore applies to BOTH NMS
+        # variants; only the lincomb branch rescores (the direct branch
+        # returns before it, output_utils.py:101-120)
+        self._maskiou_fn = None
+        if (cfg.use_maskiou and maskiou_variables is not None
+                and cfg.mask_type != MaskType.DIRECT):
+            from yolact_tpu.models.yolact import MaskIoUHead
+            miou = MaskIoUHead(cfg)
+            self._maskiou_fn = jax.jit(
+                lambda m: miou.apply(maskiou_variables, m))
 
     def __call__(self, imgs):
         from yolact_tpu.config import MaskType
@@ -163,4 +176,12 @@ class TraditionalPipeline:
                 else:
                     om[b, :n] = host_assemble_masks(proto[b], cc[:n],
                                                     bb[:n])
-        return InferenceOutput(ob, oc, os_, om, ov, None)
+        mask_scores = None
+        if self._maskiou_fn is not None:
+            iou_p = np.asarray(
+                self._maskiou_fn(om.reshape(B * D, Hp, Wp, 1)))
+            iou_p = iou_p.reshape(B, D, -1)            # [B, D, C-1]
+            cls = np.clip(oc, 0, iou_p.shape[-1] - 1)
+            sel = np.take_along_axis(iou_p, cls[..., None], axis=-1)[..., 0]
+            mask_scores = os_ * sel
+        return InferenceOutput(ob, oc, os_, om, ov, mask_scores)

@@ -268,7 +268,12 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
         frames, n_real, out, masks_full_dev = entry
         valid = np.asarray(out.valid)
         classes = np.asarray(out.classes)
-        scores = np.asarray(out.scores)
+        # prep_display forces rescore_bbox=True (reference eval.py:147-149):
+        # plus configs draw maskiou-rescored scores
+        if out.mask_scores is not None and cfg.rescore_mask:
+            scores = np.asarray(out.mask_scores)
+        else:
+            scores = np.asarray(out.scores)
         boxes = np.asarray(out.boxes)
         masks_full_np = np.asarray(masks_full_dev)
 
