@@ -273,8 +273,11 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                     from yolact_tpu.eval.display import draw_detections
                     os.makedirs(display_dir, exist_ok=True)
                     raw = dataset.pull_image(image_idx)
+                    # prep_display forces rescore_bbox=True (eval.py:147-149)
+                    disp_scores = mask_scores if cfg.rescore_mask \
+                        else box_scores
                     drawn = draw_detections(
-                        cfg, raw, classes, box_scores, boxes_abs, masks_full,
+                        cfg, raw, classes, disp_scores, boxes_abs, masks_full,
                         top_k=top_k, score_threshold=max(score_threshold, 0.15))
                     cv2.imwrite(os.path.join(
                         display_dir, f'{dataset.ids[image_idx]}.png'), drawn)
