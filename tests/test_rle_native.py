@@ -94,3 +94,19 @@ def test_native_greedy_nms(rng):
                               ).astype(np.float32)
         keep = sorted(native.greedy_nms(dets, 0.5).tolist())
         assert keep == np_greedy_nms(dets, 0.5)
+
+
+def test_bundled_native_source_in_sync():
+    """The wheel-bundled copy of the native source must match the
+    canonical native/yolact_native.cpp (single source of truth guard)."""
+    import os
+    import yolact_tpu.native as yn
+    pkg = os.path.join(os.path.dirname(os.path.abspath(yn.__file__)),
+                       '_src', 'yolact_native.cpp')
+    repo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(yn.__file__)))),
+        'native', 'yolact_native.cpp')
+    with open(pkg, 'rb') as f1, open(repo, 'rb') as f2:
+        assert f1.read() == f2.read(), \
+            'yolact_tpu/native/_src/yolact_native.cpp is out of sync: ' \
+            'cp native/yolact_native.cpp yolact_tpu/native/_src/'

@@ -19,8 +19,17 @@ _lock = threading.Lock()
 _native = None
 _tried = False
 
-_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), 'native')
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+# search order: explicit override, repo layout (../../../native), then the
+# copy bundled into wheels (_src/ — kept in sync with native/ by
+# tests/test_rle_native.py::test_bundled_native_source_in_sync)
+_SRC_DIRS = [
+    d for d in (
+        os.environ.get('YOLACT_TPU_NATIVE_DIR'),
+        os.path.join(os.path.dirname(os.path.dirname(_PKG_DIR)), 'native'),
+        os.path.join(_PKG_DIR, '_src'),
+    ) if d
+]
 
 
 class Native:
@@ -79,24 +88,43 @@ class Native:
         return keep[:n].copy()
 
 
-def _build() -> Optional[str]:
-    so = os.path.join(_SRC_DIR, 'libyolact_native.so')
-    src = os.path.join(_SRC_DIR, 'yolact_native.cpp')
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
+def _build_in(src_dir: str) -> Optional[str]:
+    src = os.path.join(src_dir, 'yolact_native.cpp')
     if not os.path.exists(src):
         return None
-    try:
-        # compile to a per-pid temp then atomically rename: concurrent
-        # processes (parallel eval shards) must never CDLL a half-written
-        # .so (the in-process _lock can't exclude other processes)
-        tmp = f'{so}.{os.getpid()}.tmp'
-        subprocess.run(['g++', '-O3', '-fPIC', '-std=c++17', '-shared',
-                        '-o', tmp, src], check=True, capture_output=True)
-        os.replace(tmp, so)
-        return so
-    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
-        return None
+    out_dirs = [src_dir]
+    # installed (non-editable) packages may live in a read-only
+    # site-packages: fall back to a per-user cache dir
+    cache = os.path.join(os.path.expanduser('~'), '.cache', 'yolact_tpu')
+    out_dirs.append(cache)
+    for out_dir in out_dirs:
+        so = os.path.join(out_dir, 'libyolact_native.so')
+        if os.path.exists(so) and \
+                os.path.getmtime(so) >= os.path.getmtime(src):
+            return so
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+            # compile to a per-pid temp then atomically rename: concurrent
+            # processes (parallel eval shards) must never CDLL a
+            # half-written .so (the in-process _lock can't exclude other
+            # processes)
+            tmp = f'{so}.{os.getpid()}.tmp'
+            subprocess.run(['g++', '-O3', '-fPIC', '-std=c++17', '-shared',
+                            '-o', tmp, src], check=True, capture_output=True)
+            os.replace(tmp, so)
+            return so
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError,
+                PermissionError):
+            continue
+    return None
+
+
+def _build() -> Optional[str]:
+    for src_dir in _SRC_DIRS:
+        so = _build_in(src_dir)
+        if so is not None:
+            return so
+    return None
 
 
 def get_native() -> Optional[Native]:
