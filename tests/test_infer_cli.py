@@ -178,6 +178,38 @@ def test_cli_evalimages_directory(tiny_ckpt, tmp_path):
         assert img is not None and img.shape == (50, 60, 3)
 
 
+def test_cli_video_maskiou_rescored_display(tmp_path, rng):
+    """evalvideo with a plus-style config draws maskiou-rescored scores
+    (prep_display rescore_bbox=True parity) without crashing."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from yolact_tpu.eval.video import evalvideo
+    from yolact_tpu.infer import random_variables
+    from yolact_tpu.models.yolact import MaskIoUHead
+
+    cfg = tiny_resnet_config(use_maskiou=True,
+                             maskiou_net=((8, 3, (('stride', 2),)),))
+    variables = random_variables(cfg)
+    Hp = cfg.max_size // 4
+    miou_vars = MaskIoUHead(cfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, Hp, Hp, 1), jnp.float32))
+
+    vid_in = str(tmp_path / 'in.mp4')
+    vw = cv2.VideoWriter(vid_in, cv2.VideoWriter_fourcc(*'mp4v'), 10,
+                         (96, 64))
+    for _ in range(4):
+        vw.write((rng.rand(64, 96, 3) * 255).astype(np.uint8))
+    vw.release()
+    out = str(tmp_path / 'out.mp4')
+    evalvideo(cfg, variables, vid_in, out, video_multiframe=2,
+              maskiou_variables=miou_vars, score_threshold=0.0,
+              max_frames=4)
+    cap = cv2.VideoCapture(out)
+    assert round(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    cap.release()
+
+
 def test_playback_stabilizer_drift():
     """The stabilizer's pacing rule (eval.py:764-778): sleep target
     drifts UP while the buffer runs below video_multiframe, DOWN when it
