@@ -104,17 +104,35 @@ def test_load_checkpoint_without_conf_state(tmp_path):
     assert float(np.asarray(restored.conf_state['total'])) == 0.0
 
 
-def test_prune_keeps_interrupt(tmp_path):
-    from yolact_tpu.train.checkpoint import prune_checkpoints
-    names = ['tiny_1_100.ckpt', 'tiny_2_200.ckpt',
+def test_prune_deletes_only_previous_latest(tmp_path):
+    """--keep_latest deletes exactly the one checkpoint the current run
+    just superseded (train.py:356-366) — never pre-existing files from
+    other runs, never interrupt states."""
+    from yolact_tpu.train.checkpoint import prune_previous_checkpoint
+    names = ['tiny_1_100.ckpt', 'tiny_2_200.ckpt', 'tiny_3_300.ckpt',
              'tiny_2_150_interrupt.ckpt']
     for n in names:
         (tmp_path / n).write_bytes(b'x')
-    prune_checkpoints(str(tmp_path), 'tiny', keep_latest_interval=0)
+    # simulating: latest before the new save was tiny_3_300; new save at 400
+    prune_previous_checkpoint(str(tmp_path / 'tiny_3_300.ckpt'),
+                              iteration=400, save_interval=100,
+                              keep_latest_interval=0)
     left = sorted(os.listdir(tmp_path))
+    assert 'tiny_3_300.ckpt' not in left         # previous latest pruned
+    assert 'tiny_1_100.ckpt' in left             # other runs untouched
+    assert 'tiny_2_200.ckpt' in left
     assert 'tiny_2_150_interrupt.ckpt' in left   # never auto-pruned
-    assert 'tiny_2_200.ckpt' in left             # latest kept
-    assert 'tiny_1_100.ckpt' not in left         # pruned
+
+    # keep interval: previous save sat on a multiple of the interval
+    # (reference condition iteration % interval == save_interval)
+    prune_previous_checkpoint(str(tmp_path / 'tiny_2_200.ckpt'),
+                              iteration=300, save_interval=100,
+                              keep_latest_interval=200)
+    assert 'tiny_2_200.ckpt' in os.listdir(tmp_path)   # kept (200 % 200 == 0)
+    prune_previous_checkpoint(str(tmp_path / 'tiny_1_100.ckpt'),
+                              iteration=200, save_interval=100,
+                              keep_latest_interval=200)
+    assert 'tiny_1_100.ckpt' not in os.listdir(tmp_path)  # not on interval
 
 
 def test_loader_pack_images_uint8():

@@ -285,13 +285,16 @@ def train(argv=None):
                                 elapsed=elapsed)
 
                 if iteration % args.save_interval == 0 and iteration > 0:
-                    if args.keep_latest:
-                        ckpt.prune_checkpoints(args.save_folder, cfg.name,
-                                               args.keep_latest_interval)
+                    latest = SavePath.get_latest(args.save_folder, cfg.name) \
+                        if args.keep_latest else None
                     path = SavePath(cfg.name, epoch, iteration).get_path(
                         root=args.save_folder)
                     print(f'Saving state, iter: {iteration}')
                     ckpt.save_checkpoint(state, path)
+                    if args.keep_latest:
+                        ckpt.prune_previous_checkpoint(
+                            latest, iteration, args.save_interval,
+                            args.keep_latest_interval)
 
             if iteration >= cfg.max_iter or interrupted['flag']:
                 break

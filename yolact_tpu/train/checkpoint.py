@@ -144,23 +144,21 @@ def iteration_from_path(path: str) -> int:
     return SavePath.from_str(path).iteration
 
 
-def prune_checkpoints(save_folder: str, config_name: str,
-                      keep_latest_interval: int = 0) -> None:
-    """--keep_latest retention (train.py:356-366): delete the previous
-    checkpoint unless it falls on a keep interval."""
-    ckpts = []
-    for p in os.listdir(save_folder):
-        if os.path.splitext(p)[0].endswith('_interrupt'):
-            # --resume=interrupt state is never auto-pruned (the
-            # reference's retention loop only sees periodic saves)
-            continue
-        try:
-            sp = SavePath.from_str(p)
-        except Exception:
-            continue
-        if sp.model_name == config_name:
-            ckpts.append((sp.iteration, os.path.join(save_folder, p)))
-    ckpts.sort()
-    for it, path in ckpts[:-1]:
-        if keep_latest_interval <= 0 or it % keep_latest_interval != 0:
-            os.unlink(path)
+def prune_previous_checkpoint(latest: Optional[str], iteration: int,
+                              save_interval: int,
+                              keep_latest_interval: int = 0) -> None:
+    """--keep_latest retention (train.py:356-366): after the new save,
+    delete ONLY the previously-latest checkpoint — never pre-existing
+    files from other runs — unless it sits on a keep interval (the
+    reference keeps it when ``iteration % keep_latest_interval ==
+    save_interval``, i.e. the previous save fell on an interval
+    multiple).  ``latest`` must be recorded BEFORE saving the new one."""
+    if latest is None or not os.path.exists(latest):
+        return
+    if os.path.splitext(latest)[0].endswith('_interrupt'):
+        # --resume=interrupt state is never auto-pruned (the reference's
+        # retention only ever sees periodic saves)
+        return
+    if keep_latest_interval <= 0 or \
+            iteration % keep_latest_interval != save_interval:
+        os.unlink(latest)

@@ -371,11 +371,6 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
             sel_ok = slot_valid
             if cfg.discard_mask_area > 0:
                 sel_ok = sel_ok & (a2 > cfg.discard_mask_area)
-            if cfg.maskious_to_train > 0:
-                # random subsample cap (multibox_loss.py:661-667)
-                mpri = jnp.where(sel_ok, jax.random.uniform(rng_i, (M,)), -1.0)
-                kth = jnp.sort(mpri)[-min(cfg.maskious_to_train, M)]
-                sel_ok = sel_ok & (mpri >= kth)
             out.update(net_input=jnp.transpose(pred, (2, 0, 1))[..., None],
                        iou_t=iou_t,
                        label_t=jnp.clip(label_t, 0, None).astype(jnp.int32),
@@ -392,7 +387,8 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
                 d.sum() / jnp.maximum(num_sel, 1)
         return out
 
-    rngs = jax.random.split(rng, B)
+    rng_images, rng_miou = jax.random.split(rng)
+    rngs = jax.random.split(rng_images, B)
     res = jax.vmap(per_image)(rngs, m.pos, m.idx_t, m.gt_box_t, mask_data,
                               proto_data, gt_masks, gt_labels, loc_data)
 
@@ -402,12 +398,30 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
 
     miou_targets = None
     if cfg.use_maskiou:
+        miou_valid = res['miou_valid']
+        if cfg.maskious_to_train > 0:
+            # global random subsample cap across the whole batch
+            # (multibox_loss.py:663-669).  The reference checks
+            # num_samples > maskious_to_train but then slices
+            # perm[:cfg.masks_to_train] — a kept quirk, so the cap
+            # size is masks_to_train.
+            flat_ok = miou_valid.reshape(-1)               # [B*M]
+            cap = min(cfg.masks_to_train, flat_ok.shape[0])
+            mpri = jnp.where(flat_ok,
+                             jax.random.uniform(rng_miou, flat_ok.shape),
+                             -1.0)
+            kth = jnp.sort(mpri)[-cap]
+            capped = flat_ok & (mpri >= kth)
+            flat_ok = jnp.where(flat_ok.sum() > cfg.maskious_to_train,
+                                capped, flat_ok)
+            miou_valid = flat_ok.reshape(miou_valid.shape)
         miou_targets = MaskIoUTargets(res['net_input'], res['iou_t'],
-                                      res['label_t'], res['miou_valid'])
+                                      res['label_t'], miou_valid)
     return losses, miou_targets
 
 
-def direct_mask_loss(cfg: YolactConfig, m: MatchResult, mask_data, gt_masks):
+def direct_mask_loss(cfg: YolactConfig, rng, m: MatchResult, mask_data,
+                     gt_masks):
     """Direct (fc-mask) loss: BCE between per-anchor mask_size^2 predictions
     and the matched gt mask cropped by the GT box and resized to mask_size
     (multibox_loss.py:152-161 use_gt_bboxes path, vectorised).
@@ -417,15 +431,22 @@ def direct_mask_loss(cfg: YolactConfig, m: MatchResult, mask_data, gt_masks):
     host-bound loop by construction): we crop by the gt box via the
     differentiable crop + fixed-grid resize.  use_gt_bboxes=True semantics
     are exact; the pred-box variant differs only in the crop window source.
+
+    The reference trains on ALL positives (no cap); fixed shapes force a
+    ``masks_to_train``-slot budget here, so when an image has more
+    positives than slots we sample a random subset and rescale by
+    old_num_pos / num_sel (the lincomb convention, multibox_loss.py:622)
+    so the expected loss matches the uncapped sum.
     """
     B, P = m.pos.shape
     S = gt_masks.shape[-1]
     ms = cfg.mask_size
     M = cfg.masks_to_train
 
-    def per_image(pos, idx_t, gt_box_t, preds, masks):
-        pri = jnp.where(pos, 2.0, 0.0)  # deterministic: all positives first
-        _, slots = jax.lax.top_k(pri + jnp.arange(P, 0, -1) * 1e-9, M)
+    def per_image(rng_i, pos, idx_t, gt_box_t, preds, masks):
+        pri = jax.random.uniform(rng_i, (P,))
+        pri = jnp.where(pos, pri + 1.0, 0.0)      # positives in (1, 2)
+        _, slots = jax.lax.top_k(pri, M)
         slot_valid = pos[slots]
         sel_gt = idx_t[slots]
         sel_box = gt_box_t[slots]                    # [M, 4] point form
@@ -458,9 +479,16 @@ def direct_mask_loss(cfg: YolactConfig, m: MatchResult, mask_data, gt_masks):
         mask_t = jax.vmap(sample)(gm, ys, xs)        # [M, ms, ms]
         mask_t = (mask_t > 0.5).astype(jnp.float32).reshape(M, -1)
         bce = _torch_bce(jnp.clip(sel_pred, 0.0, 1.0), mask_t)
-        return (bce.sum(axis=1) * slot_valid).sum()
+        per_slot = (bce.sum(axis=1) * slot_valid).sum()
+        # unbiased-estimator rescale when positives exceeded the slots
+        old_num_pos = pos.sum()
+        num_sel = slot_valid.sum()
+        scale = jnp.where(old_num_pos > num_sel,
+                          old_num_pos / jnp.maximum(num_sel, 1), 1.0)
+        return per_slot * scale
 
-    loss = jax.vmap(per_image)(m.pos, m.idx_t, m.gt_box_t,
+    rngs = jax.random.split(rng, B)
+    loss = jax.vmap(per_image)(rngs, m.pos, m.idx_t, m.gt_box_t,
                                mask_data.astype(jnp.float32),
                                gt_masks)
     return loss.sum() * cfg.mask_alpha
@@ -504,7 +532,7 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
 
     maskiou_targets = None
     if cfg.train_masks and cfg.mask_type == MaskType.DIRECT:
-        losses['M'] = direct_mask_loss(cfg, m, mask_data, gt_masks)
+        losses['M'] = direct_mask_loss(cfg, rng, m, mask_data, gt_masks)
     if cfg.train_masks and cfg.mask_type == MaskType.LINCOMB:
         proto_data = predictions['proto'].astype(jnp.float32)
         mask_losses, maskiou_targets = lincomb_mask_loss(
