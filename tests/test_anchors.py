@@ -76,3 +76,25 @@ def test_fast_level_priors_matches_reference_loop():
                 slow = A._level_priors(size, size, ars, scales, cfg)
                 fast = A._fast_level_priors(size, size, ars, scales, cfg)
                 np.testing.assert_array_equal(slow, fast, err_msg=name)
+
+
+def test_proto_seg_size_match_model():
+    """The static proto/seg output-size helpers (used to precompute gt mask
+    targets on the host) must match the real model's shapes."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+    import jax.numpy as jnp
+    from _tiny import tiny_resnet_config
+    from yolact_tpu.models.yolact import Yolact
+    from yolact_tpu.ops.anchors import proto_size, seg_size
+
+    cfg = tiny_resnet_config()
+    assert cfg.use_semantic_segmentation_loss
+    model = Yolact(cfg)
+    x = jnp.zeros((1, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    preds, _ = model.apply(variables, x, train=True,
+                           mutable=['batch_stats'])
+    assert tuple(preds['proto'].shape[1:3]) == proto_size(cfg)
+    assert tuple(preds['segm'].shape[1:3]) == seg_size(cfg)

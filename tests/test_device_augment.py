@@ -41,9 +41,12 @@ def test_hsv_roundtrip(rng):
 def test_identity_when_disabled(rng):
     """With all augmentation flags off the output is just the normalized
     input (the affine map is identity)."""
+    # binarize flag off pins the full-res gt_masks output (the multires
+    # variant is covered by test_multires_targets.py)
     cfg = tiny_resnet_config(
         augment_photometric_distort=False, augment_expand=False,
-        augment_random_sample_crop=False, augment_random_mirror=False)
+        augment_random_sample_crop=False, augment_random_mirror=False,
+        mask_proto_binarize_downsampled_gt=False)
     batch = make_raw_batch(rng, cfg)
     out = jax.jit(lambda b, r: DA.device_augment(cfg, b, r))(
         batch, jax.random.PRNGKey(0))
@@ -62,7 +65,9 @@ def test_identity_when_disabled(rng):
 def test_boxes_and_masks_stay_aligned(rng):
     """For every kept gt, the warped mask's extent must agree with the
     transformed box (IoU of the mask bbox vs gt box > 0.5)."""
-    cfg = tiny_resnet_config(augment_photometric_distort=False)
+    # full-res masks output (the warp itself is what's under test here)
+    cfg = tiny_resnet_config(augment_photometric_distort=False,
+                             mask_proto_binarize_downsampled_gt=False)
     batch = make_raw_batch(rng, cfg, B=4)
     S = cfg.max_size
     for seed in range(6):

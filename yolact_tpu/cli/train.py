@@ -129,9 +129,22 @@ def train(argv=None):
     dataset = COCODetection(
         cfg.dataset.train_images, cfg.dataset.train_info,
         transform=transform, dataset_cfg=cfg.dataset)
+    # host-augment lincomb configs ship pre-downsampled gt mask targets
+    # (reference-exact soft-downsample-then-binarize + ~12x less transfer);
+    # device_augment computes its own on chip, DIRECT needs full-res masks
+    multires = None
+    from yolact_tpu.config import MaskType
+    if (cfg.mask_type == MaskType.LINCOMB
+            and cfg.mask_proto_binarize_downsampled_gt
+            and not cfg.use_device_augment):
+        from yolact_tpu.ops.anchors import proto_size, seg_size
+        multires = {'proto': proto_size(cfg),
+                    'seg': seg_size(cfg)
+                    if cfg.use_semantic_segmentation_loss else None}
     loader = BatchLoader(dataset, args.batch_size, max_gt=args.max_gt,
                          num_workers=args.num_workers,
-                         pack_images=cfg.use_device_augment)
+                         pack_images=cfg.use_device_augment,
+                         multires=multires)
 
     model, state = create_train_state(cfg)
     start_iter = max(args.start_iter, 0)

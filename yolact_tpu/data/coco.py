@@ -170,7 +170,8 @@ def detection_collate(batch):
     return imgs, (targets, masks, num_crowds)
 
 
-def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100):
+def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100,
+              multires=None):
     """Fixed-shape batch for jit: pads/truncates gt to `max_gt` per image.
 
     Returns a dict of numpy arrays:
@@ -184,13 +185,33 @@ def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100):
     (latest in annotation order) gts — NOT by area: reordering gts would
     change the matcher's tie-breaks and break bit-parity with the
     reference, which keeps annotation order (and has no gt cap at all).
+
+    ``multires``: optional ``{'proto': (Hp, Wp), 'seg': (Hs, Ws) | None}``.
+    When given, the full-res ``gt_masks`` are REPLACED by bit-packed
+    pre-downsampled targets ``gt_masks_proto_packed`` (and
+    ``gt_masks_seg_packed``), computed with the reference's exact order of
+    operations: torch-bilinear downsample of the SOFT augmented mask, THEN
+    binarize at 0.5 (multibox_loss.py:515-523, 225-228).  This both
+    restores bit-parity (the full-res path must binarize before packing,
+    which flips boundary pixels vs the reference) and cuts host->device
+    mask transfer ~12x further.  Only valid for lincomb configs with
+    mask_proto_binarize_downsampled_gt.
     """
+    from yolact_tpu.ops.bits import pack_bits_last, packed_width
     B = len(imgs)
     S = imgs[0].shape[0]
     out_img = np.stack(imgs).astype(np.float32)
     boxes = np.zeros((B, max_gt, 4), np.float32)
     labels = np.full((B, max_gt), -2, np.int32)
-    out_masks = np.zeros((B, max_gt, S, S), np.uint8)
+    out_masks = None if multires else \
+        np.zeros((B, max_gt, S, S), np.uint8)
+    if multires:
+        Hp, Wp = multires['proto']
+        proto_packed = np.zeros((B, max_gt, Hp, packed_width(Wp)), np.uint8)
+        seg_hw = multires.get('seg')
+        seg_packed = None if seg_hw is None else \
+            np.zeros((B, max_gt, seg_hw[0], packed_width(seg_hw[1])),
+                     np.uint8)
     n_gts = np.zeros(B, np.int32)
     n_crowds = np.zeros(B, np.int32)
 
@@ -213,12 +234,29 @@ def pad_batch(imgs, targets, masks, num_crowds, max_gt: int = 100):
             n = len(t)
         boxes[i, :n] = t[:, :4]
         labels[i, :n] = t[:, 4].astype(np.int32)
-        out_masks[i, :n] = (m > 0.5).astype(np.uint8)
+        if multires:
+            if n:
+                from yolact_tpu.ops.resize import resize_bilinear_torch_np
+                soft = np.asarray(m[:n], np.float32)
+                dm = resize_bilinear_torch_np(soft, multires['proto'])
+                proto_packed[i, :n] = pack_bits_last(dm > 0.5)
+                if seg_packed is not None:
+                    ds = resize_bilinear_torch_np(soft, seg_hw)
+                    seg_packed[i, :n] = pack_bits_last(ds > 0.5)
+        else:
+            out_masks[i, :n] = (m > 0.5).astype(np.uint8)
         n_gts[i] = n
         n_crowds[i] = nc
 
-    return dict(image=out_img, gt_boxes=boxes, gt_labels=labels,
-                gt_masks=out_masks, num_gts=n_gts, num_crowds=n_crowds)
+    out = dict(image=out_img, gt_boxes=boxes, gt_labels=labels,
+               num_gts=n_gts, num_crowds=n_crowds)
+    if multires:
+        out['gt_masks_proto_packed'] = proto_packed
+        if seg_packed is not None:
+            out['gt_masks_seg_packed'] = seg_packed
+    else:
+        out['gt_masks'] = out_masks
+    return out
 
 
 def pack_batch_masks(batch: dict) -> dict:

@@ -39,7 +39,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from yolact_tpu.config import MEANS, STD, YolactConfig
+from yolact_tpu.config import MEANS, STD, MaskType, YolactConfig
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +161,20 @@ def device_augment(cfg: YolactConfig, batch: Dict, rng) -> Dict:
     """
     B, S = batch['image'].shape[0], batch['image'].shape[1]
     mean = jnp.asarray(MEANS, jnp.float32)
+
+    # For lincomb+binarize configs the loss only consumes the gt masks
+    # downsampled to proto (and seg) resolution; emit those directly from
+    # the SOFT warped masks — the reference's exact order of operations
+    # (soft downsample, then threshold: multibox_loss.py:515-523, 225-228).
+    # Binarizing the full-res warp first (the old behavior) flips boundary
+    # pixels, and the full-res [G, S, S] tensor never needs to materialize.
+    emit_multires = (cfg.mask_type == MaskType.LINCOMB
+                     and cfg.mask_proto_binarize_downsampled_gt)
+    if emit_multires:
+        from yolact_tpu.ops.anchors import proto_size, seg_size
+        proto_hw = proto_size(cfg, S)
+        seg_hw = seg_size(cfg, S) if cfg.use_semantic_segmentation_loss \
+            else None
 
     def per_image(k, img, boxes, labels, masks):
         ks = jax.random.split(k, 12)
@@ -286,12 +300,26 @@ def device_augment(cfg: YolactConfig, batch: Dict, rng) -> Dict:
         perm = [channel_map[c] for c in t.channel_order]
         x = x[..., jnp.asarray(perm)]
 
-        return x, ob, new_labels, (out_masks > 0.5).astype(jnp.uint8)
+        if emit_multires:
+            from yolact_tpu.ops.resize import resize_bilinear_torch
+            proto_t = (resize_bilinear_torch(out_masks, proto_hw) > 0.5)
+            seg_t = None if seg_hw is None else \
+                (resize_bilinear_torch(out_masks, seg_hw) > 0.5)
+            return x, ob, new_labels, proto_t, seg_t
+        return x, ob, new_labels, (out_masks > 0.5).astype(jnp.uint8), None
 
     keys = jax.random.split(rng, B)
-    img, boxes, labels, masks = jax.vmap(per_image)(
+    outs = jax.vmap(per_image)(
         keys, batch['image'].astype(jnp.float32),
         batch['gt_boxes'].astype(jnp.float32), batch['gt_labels'],
         batch['gt_masks'])
-    return dict(batch, image=img, gt_boxes=boxes, gt_labels=labels,
-                gt_masks=masks)
+    img, boxes, labels = outs[:3]
+    out = dict(batch, image=img, gt_boxes=boxes, gt_labels=labels)
+    if emit_multires:
+        out.pop('gt_masks', None)
+        out['gt_masks_proto'] = outs[3]
+        if outs[4] is not None:
+            out['gt_masks_seg'] = outs[4]
+    else:
+        out['gt_masks'] = outs[3]
+    return out

@@ -37,7 +37,7 @@ class BatchLoader:
                  max_gt: int = 100, shuffle: bool = True,
                  num_workers: int = 2, prefetch: int = 4, seed: int = 0,
                  drop_last: bool = True, pack_masks: bool = True,
-                 pack_images: bool = False):
+                 pack_images: bool = False, multires=None):
         if len(dataset) < batch_size and drop_last:
             raise ValueError(
                 f'dataset has {len(dataset)} items < batch_size '
@@ -55,6 +55,9 @@ class BatchLoader:
         # less host->device transfer; device_augment casts to f32 on chip.
         # Only valid when images are raw [0,255] (NOT host-normalized)
         self.pack_images = pack_images
+        # pre-downsampled gt mask targets (see data.coco.pad_batch):
+        # {'proto': (Hp, Wp), 'seg': (Hs, Ws) | None} or None
+        self.multires = multires
         self._stop = threading.Event()
         self._batch_queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         # bounded: backpressure for the feeder, which otherwise enqueues
@@ -82,8 +85,9 @@ class BatchLoader:
                 targets = [it[1] for it in items]
                 masks = [it[2] for it in items]
                 crowds = [it[5] for it in items]
-                batch = pad_batch(imgs, targets, masks, crowds, self.max_gt)
-                if self.pack_masks:
+                batch = pad_batch(imgs, targets, masks, crowds, self.max_gt,
+                                  multires=self.multires)
+                if self.pack_masks and self.multires is None:
                     batch = pack_batch_masks(batch)
                 if self.pack_images:
                     batch['image'] = np.clip(

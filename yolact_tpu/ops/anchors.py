@@ -206,3 +206,48 @@ def generate_priors(cfg: YolactConfig, img_size=None) -> np.ndarray:
 
 def num_priors(cfg: YolactConfig, img_size=None) -> int:
     return generate_priors(cfg, img_size).shape[0]
+
+
+def spec_out_hw(spec, h: int, w: int) -> Tuple[int, int]:
+    """Static (h, w) through a make_net-style layer spec (the mini-language
+    of models/layers.py:SpecNet / reference utils/functions.py:163-213)."""
+    for entry in spec:
+        num, k = entry[0], entry[1]
+        kw = dict(entry[2]) if len(entry) > 2 else {}
+        if isinstance(num, str):        # 'cat': parallel branches, channel
+            h, w = spec_out_hw(k[0], h, w)  # concat — sizes must agree
+            continue
+        if k > 0:                       # conv
+            s = kw.get('stride', 1)
+            p = kw.get('padding', 0)
+            d = kw.get('dilation', 1)
+            h = _conv_out(h, k, s, p, d)
+            w = _conv_out(w, k, s, p, d)
+        elif num is None:               # bilinear upsample by -k
+            h, w = h * -k, w * -k
+        else:                           # deconv
+            kk = -k
+            s = kw.get('stride', kk)
+            p = kw.get('padding', 0)
+            h = (h - 1) * s - 2 * p + kk
+            w = (w - 1) * s - 2 * p + kk
+    return h, w
+
+
+def proto_size(cfg: YolactConfig, img_size=None) -> Tuple[int, int]:
+    """(h, w) of the protonet output — the gt-mask downsample target in
+    lincomb_mask_loss (multibox_loss.py:515-523).  Verified against the
+    real model by tests/test_anchors.py::test_proto_seg_size_match_model."""
+    img = img_size or cfg.max_size
+    if cfg.mask_proto_src is None:
+        h, w = (img, img) if not isinstance(img, tuple) else img
+    else:
+        h, w = feature_map_sizes(cfg, img_size)[cfg.mask_proto_src]
+    return spec_out_hw(cfg.mask_proto_net, h, w)
+
+
+def seg_size(cfg: YolactConfig, img_size=None) -> Tuple[int, int]:
+    """(h, w) of the semantic-seg aux head (1x1 conv on outs[0] —
+    models/yolact.py), the gt downsample target of
+    semantic_segmentation_loss (multibox_loss.py:225-228)."""
+    return feature_map_sizes(cfg, img_size)[0]

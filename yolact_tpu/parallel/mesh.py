@@ -72,6 +72,13 @@ _SPATIAL_SPECS = {
     'image': (P('data', 'space'), 1),
     'gt_masks': (P('data', None, 'space'), 2),
     'gt_masks_packed': (P('data', None, 'space'), 2),
+    # pre-downsampled proto/seg-res targets (data/coco.py:pad_batch
+    # multires): tiny, keep batch-sharded only — their height is the
+    # PROTO grid, not the image grid the 'space' axis splits
+    'gt_masks_proto_packed': (P('data'), None),
+    'gt_masks_seg_packed': (P('data'), None),
+    'gt_masks_proto': (P('data'), None),
+    'gt_masks_seg': (P('data'), None),
 }
 
 

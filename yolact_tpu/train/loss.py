@@ -220,14 +220,23 @@ def conf_objectness_loss(cfg: YolactConfig, conf_data, conf_t, loc_data,
     return cfg.conf_alpha * (class_loss + obj_pos_loss + obj_neg_loss)
 
 
-def semantic_segmentation_loss(cfg: YolactConfig, segm, gt_masks, gt_labels):
+def semantic_segmentation_loss(cfg: YolactConfig, segm, gt_masks, gt_labels,
+                               ds_pre=None):
     """Aux semantic-seg BCE (multibox_loss.py:218-239).  segm is NHWC
-    [B, Hs, Ws, C-1]; gt_masks [B, G, S, S] float; crowds/padding excluded."""
+    [B, Hs, Ws, C-1]; gt_masks [B, G, S, S] float; crowds/padding excluded.
+    ``ds_pre``: optional pre-downsampled binarized targets [B, G, Hs, Ws]
+    (host-computed with the same torch-bilinear + 0.5 math)."""
     B, Hs, Ws, Cm1 = segm.shape
+    if ds_pre is not None:
+        dm_all = ds_pre
+    else:
+        if gt_masks is None:
+            raise ValueError('semantic seg loss needs gt_masks or '
+                             'precomputed gt_masks_seg targets')
+        dm_all = (_resize_masks(gt_masks, (Hs, Ws)) > 0.5)
+    dm_all = dm_all.astype(segm.dtype)
 
-    def per_image(seg, masks, labels):
-        dm = _resize_masks(masks, (Hs, Ws))
-        dm = (dm > 0.5).astype(seg.dtype)
+    def per_image(seg, dm, labels):
         valid = labels >= 0
         dm = dm * valid[:, None, None]
         cls = jnp.clip(labels, 0, Cm1 - 1)
@@ -236,7 +245,7 @@ def semantic_segmentation_loss(cfg: YolactConfig, segm, gt_masks, gt_labels):
         return jnp.sum(_bce_with_logits(
             jnp.transpose(seg, (2, 0, 1)), seg_t))
 
-    loss = jax.vmap(per_image)(segm, gt_masks, gt_labels).sum()
+    loss = jax.vmap(per_image)(segm, dm_all, gt_labels).sum()
     return loss / Hs / Ws * cfg.semantic_segmentation_alpha
 
 
@@ -262,19 +271,33 @@ class MaskIoUTargets(NamedTuple):
 
 
 def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
-                      mask_data, priors, proto_data, gt_masks, gt_labels):
-    """Prototype-coefficient mask loss (multibox_loss.py:499-674)."""
+                      mask_data, priors, proto_data, gt_masks, gt_labels,
+                      dm_pre=None):
+    """Prototype-coefficient mask loss (multibox_loss.py:499-674).
+
+    ``dm_pre``: optional pre-downsampled gt at proto resolution
+    [B, G, Hp, Wp] (binarized, host-computed with the reference's exact
+    soft-downsample-then-threshold order — data/coco.py:pad_batch).  When
+    absent, ``gt_masks`` [B, G, S, S] are downsampled here."""
     B, P = m.pos.shape
     Hp, Wp = proto_data.shape[1], proto_data.shape[2]
     M = cfg.masks_to_train
 
-    def per_image(rng_i, pos, idx_t, gt_box_t, coeffs, proto, masks, labels,
-                  loc_i):
-        # downsampled, (optionally) binarised gt at proto resolution
-        dm = _resize_masks(masks, (Hp, Wp))           # [G, Hp, Wp]
+    if dm_pre is not None:
+        assert cfg.mask_proto_binarize_downsampled_gt, \
+            'precomputed proto targets are binarized; this config wants soft'
+        dm_all = dm_pre.astype(proto_data.dtype)      # [B, G, Hp, Wp]
+    else:
+        if gt_masks is None:
+            raise ValueError('lincomb mask loss needs gt_masks or '
+                             'precomputed gt_masks_proto targets')
+        dm_all = _resize_masks(gt_masks, (Hp, Wp))
         if cfg.mask_proto_binarize_downsampled_gt:
-            dm = (dm > 0.5).astype(proto.dtype)
+            dm_all = (dm_all > 0.5).astype(proto_data.dtype)
 
+    def per_image(rng_i, pos, idx_t, gt_box_t, coeffs, proto, dm, labels,
+                  loc_i):
+        # dm: downsampled, (optionally) binarised gt at proto resolution
         if cfg.mask_proto_remove_empty_masks:
             # drop positives whose gt downsampled away (:525-531)
             nonempty = dm.sum(axis=(1, 2)) > 0.0001   # [G]
@@ -390,7 +413,7 @@ def lincomb_mask_loss(cfg: YolactConfig, rng, m: MatchResult, loc_data,
     rng_images, rng_miou = jax.random.split(rng)
     rngs = jax.random.split(rng_images, B)
     res = jax.vmap(per_image)(rngs, m.pos, m.idx_t, m.gt_box_t, mask_data,
-                              proto_data, gt_masks, gt_labels, loc_data)
+                              proto_data, dm_all, gt_labels, loc_data)
 
     losses = {'M': res['loss_m'].sum() * cfg.mask_alpha / Hp / Wp}
     if cfg.mask_proto_coeff_diversity_loss:
@@ -518,7 +541,26 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
 
     gt_boxes = batch['gt_boxes']
     gt_labels = batch['gt_labels']
-    gt_masks = batch['gt_masks'].astype(jnp.float32)
+    gt_masks = batch.get('gt_masks')
+    if gt_masks is not None:
+        gt_masks = gt_masks.astype(jnp.float32)
+
+    def _pre_target(name, hw):
+        """Pre-downsampled gt mask targets (data/coco.py:pad_batch multires
+        or device_augment), unpacked here where the target (h, w) is
+        known from the prediction shapes."""
+        if name in batch:
+            return batch[name].astype(jnp.float32)
+        packed = batch.get(name + '_packed')
+        if packed is None:
+            return None
+        from yolact_tpu.ops.bits import packed_width, unpack_bits_last
+        H, W = hw
+        assert packed.shape[-2] == H and \
+            packed.shape[-1] == packed_width(W), (
+                f'{name}_packed shape {packed.shape[-2:]} does not match '
+                f'the model target ({H}, {packed_width(W)})')
+        return unpack_bits_last(packed, W).astype(jnp.float32)
 
     m = match(cfg, gt_boxes, gt_labels, priors,
               loc_pred=loc_data if cfg.use_prediction_matching else None)
@@ -532,12 +574,16 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
 
     maskiou_targets = None
     if cfg.train_masks and cfg.mask_type == MaskType.DIRECT:
+        if gt_masks is None:
+            raise ValueError('direct mask loss needs full-res gt_masks; '
+                             'disable multires targets for DIRECT configs')
         losses['M'] = direct_mask_loss(cfg, rng, m, mask_data, gt_masks)
     if cfg.train_masks and cfg.mask_type == MaskType.LINCOMB:
         proto_data = predictions['proto'].astype(jnp.float32)
+        dm_pre = _pre_target('gt_masks_proto', proto_data.shape[1:3])
         mask_losses, maskiou_targets = lincomb_mask_loss(
             cfg, rng, m, loc_data, mask_data, priors, proto_data,
-            gt_masks, gt_labels)
+            gt_masks, gt_labels, dm_pre=dm_pre)
         losses.update(mask_losses)
         if cfg.mask_proto_loss == 'l1':
             # l1_expected_area/l1_alpha from multibox_loss.py:37-39
@@ -572,8 +618,11 @@ def multibox_loss(cfg: YolactConfig, rng, predictions: Dict,
         losses['E'] = class_existence_loss(cfg, predictions['classes'],
                                            gt_labels)
     if cfg.use_semantic_segmentation_loss:
+        ds_pre = _pre_target('gt_masks_seg',
+                             predictions['segm'].shape[1:3])
         losses['S'] = semantic_segmentation_loss(cfg, predictions['segm'],
-                                                 gt_masks, gt_labels)
+                                                 gt_masks, gt_labels,
+                                                 ds_pre=ds_pre)
 
     B = loc_data.shape[0]
     for k in losses:
