@@ -103,3 +103,43 @@ def test_train_step_with_device_augment(rng):
     state, losses = jax.jit(lambda s, b, r: train_step(cfg, model, s, b, r))(
         state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses['total'])), losses
+
+
+def test_flip_and_rot90_alignment(rng):
+    """augment_random_flip enables vertical flip + rot90 on device
+    (reference flip-gates-rot90 quirk, augmentations.py:454-475,678-679):
+    masks and boxes stay aligned through every dihedral transform, and
+    the transforms actually fire across seeds."""
+    cfg = tiny_resnet_config(augment_photometric_distort=False,
+                             augment_expand=False,
+                             augment_random_sample_crop=False,
+                             augment_random_mirror=False,
+                             augment_random_flip=True,
+                             mask_proto_binarize_downsampled_gt=False)
+    batch = make_raw_batch(rng, cfg, B=2)
+    S = cfg.max_size
+    base = np.asarray(batch['gt_boxes'])
+    changed = 0
+    for seed in range(8):
+        out = jax.jit(lambda b, r: DA.device_augment(cfg, b, r))(
+            batch, jax.random.PRNGKey(seed))
+        boxes = np.asarray(out['gt_boxes'])
+        labels = np.asarray(out['gt_labels'])
+        masks = np.asarray(out['gt_masks'])
+        if not np.allclose(boxes, base, atol=1e-5):
+            changed += 1
+        for b in range(boxes.shape[0]):
+            for g in range(boxes.shape[1]):
+                if labels[b, g] < 0 or masks[b, g].sum() < 12:
+                    continue
+                ys, xs = np.where(masks[b, g])
+                mb = np.array([xs.min(), ys.min(), xs.max() + 1,
+                               ys.max() + 1]) / S
+                gb = boxes[b, g]
+                ix = max(0, min(mb[2], gb[2]) - max(mb[0], gb[0]))
+                iy = max(0, min(mb[3], gb[3]) - max(mb[1], gb[1]))
+                inter = ix * iy
+                union = ((mb[2] - mb[0]) * (mb[3] - mb[1]) +
+                         (gb[2] - gb[0]) * (gb[3] - gb[1]) - inter)
+                assert inter / union > 0.5, (seed, b, g, mb, gb)
+    assert changed >= 4  # flips/rotations fired on most seeds

@@ -6,11 +6,15 @@ on this class of host that costs ~130 ms/image while the chip trains at
 geometric + photometric pipeline inside the jitted train step:
 
   photometric distort -> expand -> random-sample-crop -> resize -> mirror
+  -> vertical flip -> rot90 (the last two gated by augment_random_flip,
+  like the reference's flip-gates-rot90 quirk)
 
-The three geometric stages compose into ONE axis-aligned affine map per
-image (scale+translate per axis, negative scale = mirror), applied as a
+The geometric stages compose into ONE axis-aligned affine map per image
+(scale+translate per axis, negative scale = mirror/flip), applied as a
 single separable bilinear gather to the image and all gt masks — so the
-device cost is two cheap gather passes regardless of how many stages fired.
+device cost is two cheap gather passes regardless of how many stages
+fired; rot90 is an exact post-warp axis swap (commutes with the resize
+on a square canvas).
 The host loader only decodes + resizes to the canonical S x S (~6 ms).
 
 Semantics follow the reference's distributions:
@@ -177,7 +181,7 @@ def device_augment(cfg: YolactConfig, batch: Dict, rng) -> Dict:
             else None
 
     def per_image(k, img, boxes, labels, masks):
-        ks = jax.random.split(k, 12)
+        ks = jax.random.split(k, 13)
         if cfg.augment_photometric_distort:
             img = photometric_distort(ks[0], img)
 
@@ -248,11 +252,19 @@ def device_augment(cfg: YolactConfig, batch: Dict, rng) -> Dict:
         bx = bx.at[:, 0::2].set(jnp.clip(bx[:, 0::2], wl, wl + ww) - wl)
         bx = bx.at[:, 1::2].set(jnp.clip(bx[:, 1::2], wt, wt + wh) - wt)
 
-        # ---- mirror --------------------------------------------------
+        # ---- mirror / vertical flip ------------------------------------
         if cfg.augment_random_mirror:
             do_mirror = jax.random.bernoulli(ks[10])
         else:
             do_mirror = jnp.bool_(False)
+        # RandomFlip + flip-gated RandomRot90 (augmentations.py:454-475;
+        # the reference gates BOTH on augment_random_flip — kept quirk)
+        if cfg.augment_random_flip:
+            do_flip = jax.random.bernoulli(ks[11])
+            rot_k = jax.random.randint(ks[12], (), 0, 4)
+        else:
+            do_flip = jnp.bool_(False)
+            rot_k = jnp.int32(0)
 
         # ---- compose dst->src affine (half-pixel resize convention) --
         sx = ww / S
@@ -260,19 +272,47 @@ def device_augment(cfg: YolactConfig, batch: Dict, rng) -> Dict:
         # window coord -> original-image coord: subtract the expand offset
         tx = 0.5 * sx - 0.5 + (wl - left)
         ty = 0.5 * sy - 0.5 + (wt - top)
-        # mirror flips the dst index before the map
+        # mirror/flip reverse the dst index before the map
         sx_m = jnp.where(do_mirror, -sx, sx)
         tx_m = jnp.where(do_mirror, tx + sx * (S - 1), tx)
+        sy_m = jnp.where(do_flip, -sy, sy)
+        ty_m = jnp.where(do_flip, ty + sy * (S - 1), ty)
 
-        out_img = affine_warp_image(img, sx_m, tx_m, sy, ty, mean)
+        out_img = affine_warp_image(img, sx_m, tx_m, sy_m, ty_m, mean)
         out_masks = affine_warp_masks(masks.astype(jnp.float32),
-                                      sx_m, tx_m, sy, ty)
+                                      sx_m, tx_m, sy_m, ty_m)
 
         # boxes: window pixels -> output pixels -> normalized
         ob = bx / jnp.stack([ww, wh, ww, wh]) # relative in window == output
         ob = jnp.where(do_mirror,
                        jnp.stack([1 - ob[:, 2], ob[:, 1],
                                   1 - ob[:, 0], ob[:, 3]], axis=1), ob)
+        ob = jnp.where(do_flip,
+                       jnp.stack([ob[:, 0], 1 - ob[:, 3],
+                                  ob[:, 2], 1 - ob[:, 1]], axis=1), ob)
+
+        # rot90 applied to the warped square output — mathematically the
+        # reference's rotate-before-resize (per-axis scales commute with
+        # the axis swap on a square canvas)
+        def _rot_once(args):
+            im, ms, b = args
+            im = jnp.rot90(im, 1, axes=(0, 1))
+            ms = jnp.rot90(ms, 1, axes=(1, 2))
+            b = jnp.stack([b[:, 1], 1 - b[:, 2], b[:, 3], 1 - b[:, 0]],
+                          axis=1)
+            return im, ms, b
+
+        def _rot_n(n):
+            def f(args):
+                for _ in range(n):
+                    args = _rot_once(args)
+                return args
+            return f
+
+        if cfg.augment_random_flip:
+            out_img, out_masks, ob = jax.lax.switch(
+                rot_k, [_rot_n(0), _rot_n(1), _rot_n(2), _rot_n(3)],
+                (out_img, out_masks, ob))
 
         # discard degenerate boxes (augmentations.py:170-178 semantics:
         # absolute width/height at S must exceed cfg.discard_box_width)
