@@ -63,6 +63,23 @@ def main():
         num_gts=jnp.full(batch, G - 1, jnp.int32),
         num_crowds=jnp.ones(batch, jnp.int32))
 
+    # production default (cli/train.py): lincomb configs ship
+    # pre-downsampled packed proto/seg targets instead of full-res masks;
+    # BENCH_TRAIN_MULTIRES=0 benches the legacy full-res path
+    from yolact_tpu.config import MaskType
+    if (os.environ.get('BENCH_TRAIN_MULTIRES', '1') != '0'
+            and cfg.mask_type == MaskType.LINCOMB
+            and cfg.mask_proto_binarize_downsampled_gt):
+        from yolact_tpu.ops.anchors import proto_size, seg_size
+        from yolact_tpu.ops.bits import pack_bits_last
+        from yolact_tpu.ops.resize import resize_bilinear_torch_np
+        soft = np.asarray(data.pop('gt_masks')).astype(np.float32)
+        data['gt_masks_proto_packed'] = jnp.asarray(pack_bits_last(
+            resize_bilinear_torch_np(soft, proto_size(cfg)) > 0.5))
+        if cfg.use_semantic_segmentation_loss:
+            data['gt_masks_seg_packed'] = jnp.asarray(pack_bits_last(
+                resize_bilinear_torch_np(soft, seg_size(cfg)) > 0.5))
+
     @jax.jit
     def chained(state, data, n):
         def body(i, carry):
