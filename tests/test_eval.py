@@ -355,3 +355,63 @@ def test_evaluate_direct_mask_end_to_end(tiny_eval_setup):
     maps2 = evaluate_dataset(cfg.copy(discard_mask_area=5 * 5), variables,
                              dataset, quiet=True)
     assert np.isfinite(maps2['mask']['all'])
+
+
+def test_eval_no_discard_mask_area(tiny_eval_setup):
+    """discard_mask_area is TRAINING-only in the reference
+    (multibox_loss.py:630-632); eval must not drop small-mask detections."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    cfg = cfg.copy(discard_mask_area=10 ** 9)  # would drop EVERY detection
+    dataset = make_eval_dataset(cfg)
+    variables = random_variables(cfg)
+    # with the old eval-time filter this raised no error but zeroed all
+    # detections; now the filter must not exist at all — verify via json
+    # output that detections survive
+    import tempfile, os, json
+    with tempfile.TemporaryDirectory() as td:
+        bb, mm = os.path.join(td, 'b.json'), os.path.join(td, 'm.json')
+        evaluate_dataset(cfg, variables, dataset, quiet=True,
+                         output_coco_json=True, bbox_det_file=bb,
+                         mask_det_file=mm)
+        with open(mm) as f:
+            dets = json.load(f)
+    assert len(dets) > 0
+
+
+def test_eval_prefetch_error_propagates(tiny_eval_setup):
+    """A corrupt image must raise, not hang the evaluator forever."""
+    import pytest
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    dataset = make_eval_dataset(cfg)
+    orig = dataset.pull_item
+
+    def bad_pull(idx):
+        if idx == 1:
+            raise IOError('corrupt image')
+        return orig(idx)
+
+    dataset.pull_item = bad_pull
+    try:
+        with pytest.raises(RuntimeError, match='eval prefetch failed'):
+            evaluate_dataset(cfg, random_variables(cfg), dataset, quiet=True)
+    finally:
+        dataset.pull_item = orig
+
+
+def test_eval_detect_box_only_mode(tiny_eval_setup):
+    """--detect (eval_mask_branch=False) evaluates boxes without crashing
+    on lincomb configs (regression: coeffs were reshaped as direct masks)."""
+    from yolact_tpu.eval.evaluate import evaluate_dataset, make_eval_dataset
+    from yolact_tpu.infer import random_variables
+
+    cfg, _, _ = tiny_eval_setup
+    cfg = cfg.copy(eval_mask_branch=False)
+    dataset = make_eval_dataset(cfg)
+    maps = evaluate_dataset(cfg, random_variables(cfg), dataset, quiet=True)
+    assert np.isfinite(maps['box']['all'])

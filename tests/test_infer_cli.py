@@ -262,3 +262,48 @@ def test_cli_video_display_headless_fallback(tiny_ckpt, tmp_path):
     fps = evalvideo(cfg, variables, vid_in, None, video_multiframe=2,
                     score_threshold=0.0, max_frames=4, display=True)
     assert fps >= 0
+
+
+def test_cli_eval_no_crop_changes_masks(tiny_ckpt, tmp_path):
+    """--no_crop must reach the mask-assembly stage (reference passes
+    crop_masks=args.crop into postprocess, eval.py:403)."""
+    import jax.numpy as jnp
+    from yolact_tpu.infer import Pipeline
+    from yolact_tpu.train.checkpoint import load_weights
+    cfg, ckpt = tiny_ckpt
+    variables = load_weights(cfg, ckpt)
+    img = (np.random.RandomState(1).rand(1, cfg.max_size, cfg.max_size, 3)
+           * 255).astype(np.float32)
+    out_c = Pipeline(cfg, variables, preprocess=True, crop_masks=True)(img)
+    out_n = Pipeline(cfg, variables, preprocess=True, crop_masks=False)(img)
+    n = int(np.asarray(out_c.valid[0]).sum())
+    assert n > 0
+    # uncropped masks have at least as much mass, strictly more somewhere
+    mc = np.asarray(out_c.masks[0, :n])
+    mn = np.asarray(out_n.masks[0, :n])
+    assert (mn >= mc - 1e-6).all()
+    assert mn.sum() > mc.sum()
+
+
+def test_cli_video_traditional_nms(tiny_ckpt, tmp_path):
+    """--fast_nms=False reaches the video path (reference eval.py:871-872
+    sets the NMS flags before dispatching to evalvideo)."""
+    import cv2
+    cfg, ckpt = tiny_ckpt
+    vid_in = str(tmp_path / 'in.mp4')
+    vw = cv2.VideoWriter(vid_in, cv2.VideoWriter_fourcc(*'mp4v'), 10,
+                         (96, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        vw.write((rng.rand(64, 96, 3) * 255).astype(np.uint8))
+    vw.release()
+
+    from yolact_tpu.eval.video import evalvideo
+    from yolact_tpu.train.checkpoint import load_weights
+    variables = load_weights(cfg, ckpt)
+    out = str(tmp_path / 'out.mp4')
+    evalvideo(cfg, variables, vid_in, out, video_multiframe=2,
+              score_threshold=0.0, max_frames=4, fast_nms=False)
+    cap = cv2.VideoCapture(out)
+    assert round(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    cap.release()

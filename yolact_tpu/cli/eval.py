@@ -121,13 +121,15 @@ def make_image_pipeline(cfg, variables, maskiou_vars, args):
         return Pipeline(cfg, variables, maskiou_variables=maskiou_vars,
                         preprocess=True,
                         use_cross_class_nms=args.cross_class_nms,
-                        score_threshold=args.score_threshold)
+                        score_threshold=args.score_threshold,
+                        crop_masks=args.crop)
     # host greedy per-class NMS (the reference's --fast_nms=False)
     from yolact_tpu.eval.traditional import TraditionalPipeline
     return TraditionalPipeline(cfg, variables,
                                score_threshold=args.score_threshold,
                                preprocess=True,
-                               maskiou_variables=maskiou_vars)
+                               maskiou_variables=maskiou_vars,
+                               crop_masks=args.crop)
 
 
 def evalimage(cfg, variables, args, pipeline, path: str, save_path=None):
@@ -230,7 +232,10 @@ def main(argv=None):
                   score_threshold=args.score_threshold or 0.15,
                   top_k=args.top_k, display_fps=True,
                   emulate_playback=args.emulate_playback,
-                  display=args.display)
+                  display=args.display,
+                  fast_nms=args.fast_nms,
+                  cross_class_nms=args.cross_class_nms,
+                  crop_masks=args.crop)
         return
 
     from yolact_tpu.eval.evaluate import (calc_map_from_file,

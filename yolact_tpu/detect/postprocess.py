@@ -42,7 +42,21 @@ def postprocess_device(cfg: YolactConfig, dets: Detections,
     proto = dets.proto            # [B, Hp, Wp, Md]
     coeffs = dets.masks           # [B, D, Md]
 
-    if cfg.mask_type == MaskType.DIRECT or proto is None:
+    if not cfg.eval_mask_branch or \
+            (proto is None and cfg.mask_type != MaskType.DIRECT):
+        # box-only mode (--detect; reference eval.py:1068 sets
+        # eval_mask_branch=False): the heads emit zero coeffs and no
+        # prototypes — return zero 1x1 masks so the fixed-shape pipeline
+        # and the evaluator keep working (the reference's own --detect
+        # leaves raw coeffs in the mask slot and cannot compute mask mAP)
+        B, D = coeffs.shape[:2]
+        valid = dets.valid
+        if score_threshold > 0:
+            valid = valid & (dets.scores > score_threshold)
+        return jnp.zeros((B, D, 1, 1), jnp.float32), \
+            dets._replace(valid=valid)
+
+    if cfg.mask_type == MaskType.DIRECT:
         # direct masks (mask_type=0): the head's mask output IS the mask —
         # mask_size^2 sigmoid values per detection, no prototype
         # combination and no crop (output_utils.py:101-120 upscales them
@@ -87,6 +101,15 @@ def postprocess_device(cfg: YolactConfig, dets: Detections,
     return masks, dets._replace(valid=valid)
 
 
+def select_class_maskiou(iou_p, classes):
+    """[B, D, C-1] per-class maskiou -> [B, D] at each detection's class.
+    Works on numpy or jax arrays — shared by the fast (device) and
+    traditional (host) NMS paths."""
+    xp = np if isinstance(iou_p, np.ndarray) else jnp
+    cls = xp.clip(classes, 0, iou_p.shape[-1] - 1)
+    return xp.take_along_axis(iou_p, cls[..., None], axis=-1)[..., 0]
+
+
 def rescore_with_maskiou(cfg: YolactConfig, maskiou_apply, masks, dets):
     """YOLACT++ mask re-scoring (output_utils.py:79-88): run the maskiou net
     on assembled proto-res masks and multiply into the mask scores."""
@@ -94,10 +117,7 @@ def rescore_with_maskiou(cfg: YolactConfig, maskiou_apply, masks, dets):
     flat = masks.reshape(B * D, Hp, Wp, 1)
     iou_p = maskiou_apply(flat)                     # [B*D, C-1]
     iou_p = iou_p.reshape(B, D, -1)
-    cls = jnp.clip(dets.classes, 0, iou_p.shape[-1] - 1)
-    sel = jnp.take_along_axis(iou_p, cls[..., None], axis=-1)[..., 0]
-    mask_scores = dets.scores * sel
-    return mask_scores
+    return dets.scores * select_class_maskiou(iou_p, dets.classes)
 
 
 def upsample_masks_device(masks: jnp.ndarray, size: Tuple[int, int],

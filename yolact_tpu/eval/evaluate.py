@@ -43,13 +43,42 @@ def sanitize_boxes_np(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
     return out.astype(np.int64)
 
 
+class _PrefetchError:
+    """Sentinel carrying a prefetcher exception to the consumer."""
+
+    def __init__(self, exc):
+        import traceback
+        self.exc = exc
+        self.tb = traceback.format_exc()
+
+
 def _prefetcher(dataset, indices, out_q, stop):
-    for idx in indices:
-        if stop.is_set():
-            return
-        item = dataset.pull_item(idx)
-        out_q.put((idx, item))
-    out_q.put(None)
+    """Stop-aware prefetch: bounded puts use a timeout so a dying consumer
+    (stop set in its finally) can't strand this thread on a full queue,
+    and any pull_item exception is forwarded instead of silently killing
+    the thread (which would hang the consumer's blocking get forever)."""
+    import queue as _queue
+
+    def put(x):
+        while not stop.is_set():
+            try:
+                out_q.put(x, timeout=0.25)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    try:
+        for idx in indices:
+            if stop.is_set():
+                return
+            item = dataset.pull_item(idx)
+            if not put((idx, item)):
+                return
+    except BaseException as e:
+        put(_PrefetchError(e))
+        return
+    put(None)
 
 
 def evaluate_dataset(cfg: YolactConfig, variables: Dict,
@@ -108,7 +137,8 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                             maskiou_variables=maskiou_variables,
                             use_cross_class_nms=cross_class_nms,
                             preprocess=False,
-                            score_threshold=score_threshold)
+                            score_threshold=score_threshold,
+                            crop_masks=crop_masks)
     else:
         # traditional greedy NMS path: device does forward+decode+scores,
         # the per-class O(n^2) suppression runs in the native C++ lib and
@@ -117,7 +147,8 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
         pipeline = TraditionalPipeline(cfg, variables,
                                        score_threshold=score_threshold,
                                        preprocess=False,
-                                       maskiou_variables=maskiou_variables)
+                                       maskiou_variables=maskiou_variables,
+                                       crop_masks=crop_masks)
 
     dataset_size = len(dataset) if max_images < 0 else \
         min(max_images, len(dataset))
@@ -178,6 +209,9 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                 if got is None:
                     exhausted = True
                     break
+                if isinstance(got, _PrefetchError):
+                    raise RuntimeError(
+                        f'eval prefetch failed:\n{got.tb}') from got.exc
                 pending.append(got)
             if not pending:
                 break
@@ -209,7 +243,11 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
             for bi, (image_idx, item) in enumerate(batch_items):
                 img, gt, gt_masks, h, w, num_crowd = item
                 now = time.perf_counter()
-                frame_times.add(now - t_last)
+                if done > 1:
+                    # skip the first two frames like the reference
+                    # (eval.py:963-965) — the first batch pays the full
+                    # XLA compile, which would dominate the average
+                    frame_times.add(now - t_last)
                 t_last = now
                 done += 1
                 if benchmark:
@@ -234,35 +272,21 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                         import jax.numpy as jnp
                         gt_packed = gt_to_canvas_packed(
                             np.asarray(gt_masks), canvas)
-                        miou_d, crowd_d, pa_d = mask_iou_device_packed(
+                        miou_d, crowd_d, _pa_d = mask_iou_device_packed(
                             out.masks[bi], jnp.asarray(gt_packed),
                             np.float32(h), np.float32(w), canvas)
                         miou_full = np.asarray(miou_d)[:n]
                         crowd_full = np.asarray(crowd_d)[:n]
-                        areas = np.asarray(pa_d)[:n]
                     elif cfg.mask_type == MaskType.DIRECT:
                         patches = np.asarray(out.masks[bi])[:n]
                         masks_full = finish_masks_direct(patches, boxes_abs,
                                                          w, h)
-                        areas = masks_full.reshape(n, -1).sum(axis=1) \
-                            if n > 0 else np.zeros(0)
                     else:
                         proto_masks = np.asarray(out.masks[bi])[:n]
                         masks_full = finish_masks(proto_masks, w, h)
-                        areas = masks_full.reshape(n, -1).sum(axis=1) \
-                            if n > 0 else np.zeros(0)
-
-                if cfg.discard_mask_area > 0 and n > 0:
-                    keep = areas > cfg.discard_mask_area
-                    classes, box_scores = classes[keep], box_scores[keep]
-                    mask_scores = mask_scores[keep]
-                    boxes_abs = boxes_abs[keep]
-                    if masks_full is not None:
-                        masks_full = masks_full[keep]
-                    if miou_full is not None:
-                        miou_full = miou_full[keep]
-                        crowd_full = crowd_full[keep]
-                    n = int(keep.sum())
+                # NOTE: cfg.discard_mask_area is TRAINING-only in the
+                # reference (maskiou gt filter, multibox_loss.py:630-632);
+                # eval never drops detections by mask area
 
                 if display:
                     # headless display mode: render detections over the
@@ -278,7 +302,7 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                         else box_scores
                     drawn = draw_detections(
                         cfg, raw, classes, disp_scores, boxes_abs, masks_full,
-                        top_k=top_k, score_threshold=max(score_threshold, 0.15))
+                        top_k=top_k, score_threshold=score_threshold)
                     cv2.imwrite(os.path.join(
                         display_dir, f'{dataset.ids[image_idx]}.png'), drawn)
 
@@ -309,7 +333,8 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
                                      crowd_mask_iou_full=crowd_full)
 
                 if not quiet and not no_bar:
-                    fps = 1 / frame_times.get_avg() if done > 1 else 0
+                    fps = 1 / frame_times.get_avg() if len(frame_times) \
+                        else 0
                     progress_bar.set_val(done)
                     print(f'\rProcessing Images  {progress_bar} '
                           f'{done:6d} / {dataset_size:6d} '
@@ -325,7 +350,7 @@ def evaluate_dataset(cfg: YolactConfig, variables: Dict,
         print()
         print('Stats for the last frame:')
         timer.print_stats()
-        avg = frame_times.get_avg()
+        avg = frame_times.get_avg() if len(frame_times) else float('nan')
         print(f'Average: {avg * 1000:5.2f} ms / frame ({1 / avg:5.2f} fps)')
         return None
 

@@ -47,7 +47,8 @@ def _greedy_nms(dets: np.ndarray, thresh: float) -> np.ndarray:
 
 
 def host_assemble_masks(proto: np.ndarray, coeffs: np.ndarray,
-                        boxes: np.ndarray, padding: int = 1) -> np.ndarray:
+                        boxes: np.ndarray, padding: int = 1,
+                        crop: bool = True) -> np.ndarray:
     """Host mask assembly for the traditional-NMS path: sigmoid(proto @
     coeffs.T) cropped by boxes (output_utils.py:69-74), numpy."""
     hp, wp, _ = proto.shape
@@ -55,7 +56,7 @@ def host_assemble_masks(proto: np.ndarray, coeffs: np.ndarray,
     m = proto.reshape(-1, proto.shape[-1]) @ coeffs.T          # [hp*wp, n]
     m = 1.0 / (1.0 + np.exp(-m))
     m = m.reshape(hp, wp, n)
-    if n:
+    if n and crop:
         x1 = np.clip(np.minimum(boxes[:, 0], boxes[:, 2]) * wp - padding,
                      0, None)
         x2 = np.clip(np.maximum(boxes[:, 0], boxes[:, 2]) * wp + padding,
@@ -118,7 +119,7 @@ class TraditionalPipeline:
 
     def __init__(self, cfg: YolactConfig, variables,
                  score_threshold: float = 0.0, preprocess: bool = False,
-                 maskiou_variables=None):
+                 maskiou_variables=None, crop_masks: bool = True):
         import jax
         from functools import partial
         from yolact_tpu.config import MaskType
@@ -127,19 +128,23 @@ class TraditionalPipeline:
         self.cfg = cfg
         self.variables = variables
         self.score_threshold = score_threshold
+        self.crop_masks = crop_masks
         self._raw_fn = jax.jit(partial(forward_raw, cfg, Yolact(cfg),
                                        preprocess=preprocess))
         # YOLACT++ maskiou rescoring runs in postprocess in the reference
         # (output_utils.py:79-88) and therefore applies to BOTH NMS
         # variants; only the lincomb branch rescores (the direct branch
-        # returns before it, output_utils.py:101-120)
+        # returns before it, output_utils.py:101-120).  Variables are a
+        # jit ARGUMENT (not a closure capture, which would bake the
+        # weights into the executable as constants).
         self._maskiou_fn = None
         if (cfg.use_maskiou and maskiou_variables is not None
-                and cfg.mask_type != MaskType.DIRECT):
+                and cfg.mask_type != MaskType.DIRECT
+                and cfg.eval_mask_branch):
             from yolact_tpu.models.yolact import MaskIoUHead
             miou = MaskIoUHead(cfg)
-            self._maskiou_fn = jax.jit(
-                lambda m: miou.apply(maskiou_variables, m))
+            self._maskiou_vars = maskiou_variables
+            self._maskiou_fn = jax.jit(lambda v, m: miou.apply(v, m))
 
     def __call__(self, imgs):
         from yolact_tpu.config import MaskType
@@ -149,9 +154,12 @@ class TraditionalPipeline:
         boxes, scores, coeffs = (np.asarray(a) for a in out[:3])
         proto = np.asarray(out[3]) if out[3] is not None else None
         direct = cfg.mask_type == MaskType.DIRECT
+        no_masks = proto is None and not direct  # --detect box-only mode
         B = boxes.shape[0]
         D = cfg.max_num_detections
-        if direct:
+        if no_masks:
+            Hp = Wp = 1
+        elif direct:
             Hp = Wp = cfg.mask_size
         else:
             Hp, Wp = proto.shape[1], proto.shape[2]
@@ -169,19 +177,19 @@ class TraditionalPipeline:
             os_[b, :n] = sc[:n]
             ov[b, :n] = sc[:n] > self.score_threshold \
                 if self.score_threshold > 0 else True
-            if n:
+            if n and not no_masks:
                 if direct:
                     # mask field rows are already sigmoid mask patches
                     om[b, :n] = cc[:n].reshape(n, Hp, Wp)
                 else:
                     om[b, :n] = host_assemble_masks(proto[b], cc[:n],
-                                                    bb[:n])
+                                                    bb[:n],
+                                                    crop=self.crop_masks)
         mask_scores = None
         if self._maskiou_fn is not None:
-            iou_p = np.asarray(
-                self._maskiou_fn(om.reshape(B * D, Hp, Wp, 1)))
+            from yolact_tpu.detect.postprocess import select_class_maskiou
+            iou_p = np.asarray(self._maskiou_fn(
+                self._maskiou_vars, om.reshape(B * D, Hp, Wp, 1)))
             iou_p = iou_p.reshape(B, D, -1)            # [B, D, C-1]
-            cls = np.clip(oc, 0, iou_p.shape[-1] - 1)
-            sel = np.take_along_axis(iou_p, cls[..., None], axis=-1)[..., 0]
-            mask_scores = os_ * sel
+            mask_scores = os_ * select_class_maskiou(iou_p, oc)
         return InferenceOutput(ob, oc, os_, om, ov, mask_scores)

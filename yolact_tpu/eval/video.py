@@ -147,7 +147,10 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
               display_fps: bool = True,
               emulate_playback: bool = False,
               display: bool = False,
-              max_frames: int = -1) -> float:
+              max_frames: int = -1,
+              fast_nms: bool = True,
+              cross_class_nms: bool = False,
+              crop_masks: bool = True) -> float:
     """Returns average end-to-end fps.  `path` may be a file or a webcam
     index string (eval.py:644-650).  ``display=True`` plays frames live
     in a cv2 window through the buffered stabilizer consumer (falls back
@@ -181,8 +184,21 @@ def evalvideo(cfg: YolactConfig, variables, path: str,
     buffer_q: Optional["queue.Queue"] = None
     producer_done = threading.Event()
 
-    pipeline = Pipeline(cfg, variables, maskiou_variables=maskiou_variables,
-                        preprocess=True, score_threshold=score_threshold)
+    # the reference applies the NMS flags to the video path too
+    # (eval.py:871-872 set them on net.detect before dispatch)
+    if fast_nms:
+        pipeline = Pipeline(cfg, variables,
+                            maskiou_variables=maskiou_variables,
+                            preprocess=True,
+                            use_cross_class_nms=cross_class_nms,
+                            score_threshold=score_threshold,
+                            crop_masks=crop_masks)
+    else:
+        from yolact_tpu.eval.traditional import TraditionalPipeline
+        pipeline = TraditionalPipeline(cfg, variables, preprocess=True,
+                                       score_threshold=score_threshold,
+                                       maskiou_variables=maskiou_variables,
+                                       crop_masks=crop_masks)
 
     # frame size is fixed for a video: upsample+binarize the padded masks on
     # device in the same jitted program scope instead of per-frame cv2 on

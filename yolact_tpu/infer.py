@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolact_tpu.config import MEANS, STD, YolactConfig
+from yolact_tpu.config import MEANS, STD, MaskType, YolactConfig
 from yolact_tpu.detect.detection import detect
 from yolact_tpu.detect.postprocess import (postprocess_device,
                                            rescore_with_maskiou)
@@ -126,7 +126,8 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
                        maskiou_variables: Optional[Dict] = None,
                        use_fast_nms: bool = True,
                        use_cross_class_nms: bool = False,
-                       score_threshold: float = 0.0) -> InferenceOutput:
+                       score_threshold: float = 0.0,
+                       crop_masks: bool = True) -> InferenceOutput:
     """The full device program (jit me)."""
     if not use_fast_nms:
         # the greedy traditional NMS is host-side by design (sequential);
@@ -148,10 +149,11 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
     preds = model.apply(variables, x, train=False)
     dets = detect(cfg, preds, use_fast_nms=use_fast_nms,
                   use_cross_class_nms=use_cross_class_nms)
-    masks, dets = postprocess_device(cfg, dets,
+    masks, dets = postprocess_device(cfg, dets, crop_masks=crop_masks,
                                      score_threshold=score_threshold)
     mask_scores = None
-    if cfg.use_maskiou and maskiou_variables is not None:
+    if (cfg.use_maskiou and maskiou_variables is not None
+            and cfg.mask_type != MaskType.DIRECT and cfg.eval_mask_branch):
         miou = MaskIoUHead(cfg)
         mask_scores = rescore_with_maskiou(
             cfg, lambda m: miou.apply(maskiou_variables, m), masks, dets)
@@ -198,7 +200,8 @@ class Pipeline:
                  use_fast_nms: bool = True,
                  use_cross_class_nms: bool = False,
                  preprocess: bool = True,
-                 score_threshold: float = 0.0):
+                 score_threshold: float = 0.0,
+                 crop_masks: bool = True):
         if preprocess:
             # raw-image pipelines get the space-to-depth stem for free
             # (same params; see maybe_enable_stem_s2d)
@@ -212,7 +215,8 @@ class Pipeline:
             preprocess=preprocess,
             use_fast_nms=use_fast_nms,
             use_cross_class_nms=use_cross_class_nms,
-            score_threshold=score_threshold))
+            score_threshold=score_threshold,
+            crop_masks=crop_masks))
 
     def __call__(self, images) -> InferenceOutput:
         return self._fn(self.variables, images=jnp.asarray(images),
