@@ -156,3 +156,83 @@ def test_torchvision_resnet_import(refmod, rng):
     np.testing.assert_allclose(
         np.asarray(ours[-1]),
         np.transpose(ref_outs[-1].numpy(), (0, 2, 3, 1)), atol=2e-4)
+
+
+def test_resnet_atrous_backbone_parity(refmod, rng):
+    """Atrous (dilated) stages: the reference passes the accumulated
+    dilation only to block 0 of each stage (backbone.py:114 vs :118 —
+    blocks i>0 keep dilation=1); ours must reproduce that exactly."""
+    from yolact_tpu.config import get_config
+    from yolact_tpu.models.resnet import ResNetBackbone
+
+    torch.manual_seed(3)
+    # 2 blocks/stage so the i>0 dilation default is exercised; stage 2 and
+    # 3 atrous so the dilation ACCUMULATES (2 then 3)
+    net = refmod.ResNetBackbone([2, 2, 2, 2], atrous_layers=[2, 3])
+    net.eval()
+    cfg = get_config('yolact_base').copy(
+        backbone=get_config('yolact_base').backbone.copy(
+            args=((2, 2, 2, 2), (0, 0, 0, 0), 1, (2, 3))))
+    variables = _convert_backbone(cfg, net)
+
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = net(torch.from_numpy(x))
+    bb = ResNetBackbone(layers=(2, 2, 2, 2), atrous_layers=(2, 3))
+    ours = bb.apply({'params': variables['params']['backbone'],
+                     'batch_stats': variables['batch_stats']['backbone']},
+                    np.transpose(x, (0, 2, 3, 1)), train=False)
+    assert len(ours) == len(ref_outs)
+    for o, r in zip(ours, ref_outs):
+        assert o.shape[1:3] == tuple(r.shape[2:]), (o.shape, r.shape)
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.transpose(r.numpy(), (0, 2, 3, 1)),
+                                   atol=2e-4)
+
+
+def test_specnet_deconv_parity(rng):
+    """make_net-style deconv entries: torch ConvTranspose2d defaults
+    stride=1 (utils/functions.py:196) — an implicit-stride entry like
+    (8, -2, ()) must match, and explicit strides keep working."""
+    from yolact_tpu.models.layers import SpecNet
+
+    spec = ((8, 3, (('padding', 1),)),
+            (8, -2, ()),                       # implicit stride -> 1
+            (8, -2, (('stride', 2),)))         # explicit stride 2
+    ref_layers = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.ConvTranspose2d(8, 8, 2), torch.nn.ReLU(),
+        torch.nn.ConvTranspose2d(8, 8, 2, stride=2), torch.nn.ReLU())
+    torch.manual_seed(0)
+    for m in ref_layers:
+        if hasattr(m, 'weight'):
+            torch.nn.init.normal_(m.weight, std=0.1)
+            torch.nn.init.normal_(m.bias, std=0.1)
+    ref_layers.eval()
+
+    x = rng.rand(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref_layers(torch.from_numpy(x)).numpy()
+
+    import jax
+    net = SpecNet(spec)
+    net.init(jax.random.PRNGKey(0), np.transpose(x, (0, 2, 3, 1)))
+    # map torch weights in: conv OIHW->HWIO, deconv IOHW->HWOI
+    from yolact_tpu.convert.torch_import import _conv_w, _deconv_w
+
+    def entry(m, deconv):
+        w = m.weight.detach().numpy()
+        return {'conv': {'kernel': _deconv_w(w) if deconv else _conv_w(w),
+                         'bias': m.bias.detach().numpy()}}
+
+    params = {'layers_0': entry(ref_layers[0], False),
+              'layers_2': entry(ref_layers[2], True),
+              'layers_4': entry(ref_layers[4], True)}
+    got = net.apply({'params': params}, np.transpose(x, (0, 2, 3, 1)))
+    assert got.shape[1:3] == tuple(want.shape[2:])
+    np.testing.assert_allclose(np.asarray(got),
+                               np.transpose(want, (0, 2, 3, 1)), atol=2e-5)
+
+    # and the static shape helper agrees
+    from yolact_tpu.ops.anchors import spec_out_hw
+    assert spec_out_hw(spec, 16, 16) == tuple(want.shape[2:])

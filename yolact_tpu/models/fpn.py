@@ -38,7 +38,23 @@ class FPN(nn.Module):
                        name=f'lat_layers_{i}')(convouts[j])
             if x is not None:
                 h, w = convouts[j].shape[1], convouts[j].shape[2]
-                x = resize_bilinear(x, (h, w)) + lat
+                # cfg.fpn.interpolation_mode is what the reference passes
+                # to F.interpolate (yolact.py:332)
+                if fc.interpolation_mode == 'bilinear':
+                    x = resize_bilinear(x, (h, w)) + lat
+                elif fc.interpolation_mode == 'nearest':
+                    # torch F.interpolate 'nearest' picks
+                    # src = floor(dst * in/out) (asymmetric, NOT
+                    # half-pixel like jax.image.resize's 'nearest')
+                    rows = jnp.floor(jnp.arange(h) *
+                                     (x.shape[1] / h)).astype(jnp.int32)
+                    cols = jnp.floor(jnp.arange(w) *
+                                     (x.shape[2] / w)).astype(jnp.int32)
+                    x = x[:, rows][:, :, cols] + lat
+                else:
+                    raise NotImplementedError(
+                        f'fpn.interpolation_mode='
+                        f'{fc.interpolation_mode!r}')
             else:
                 x = lat
             out[j] = x

@@ -81,7 +81,7 @@ class PredictionHead(nn.Module):
             from yolact_tpu.models.resnet import Bottleneck
             a = Bottleneck(planes=x.shape[-1] // 4, stride=1,
                            has_downsample=False, dtype=self.dtype,
-                           name='block')(x)
+                           name='block')(x, train=train)
             b = Conv(x.shape[-1], 1, 1, 0, dtype=self.dtype,
                      name='pm_conv')(x)
             from yolact_tpu.models.layers import BatchNorm

@@ -269,7 +269,9 @@ class SpecNet(nn.Module):
             else:
                 layers.append((seq_idx, 'deconv', dict(
                     features=num, kernel_size=-k,
-                    stride=kw.get('stride', -k),
+                    # torch ConvTranspose2d defaults stride to 1
+                    # (reference make_net, utils/functions.py:196)
+                    stride=kw.get('stride', 1),
                     padding=kw.get('padding', 0))))
             seq_idx += 1
             layers.append((seq_idx, 'relu', None))

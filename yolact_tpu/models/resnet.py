@@ -135,7 +135,10 @@ def _stage_plan(layers: Sequence[int],
         inplanes = planes * EXPANSION
         for i in range(1, blocks):
             use_dcn = ((i + dcn_budget) >= blocks) and (i % dcn_interval == 0)
-            stage.append(dict(planes=planes, stride=1, dilation=dilation,
+            # the reference passes the accumulated dilation ONLY to block 0
+            # (backbone.py:114 vs :118 — blocks i>0 use the Bottleneck
+            # default dilation=1); reproduced for checkpoint parity
+            stage.append(dict(planes=planes, stride=1, dilation=1,
                               use_dcn=use_dcn, has_downsample=False))
         plans.append(tuple(stage))
     return tuple(plans)

@@ -208,7 +208,10 @@ if __name__ == '__main__':
     name = sys.argv[1] if len(sys.argv) > 1 else 'yolact_base'
     cfg = get_config(name)
     model, variables = init_params(cfg, train=True)
-    x = jnp.zeros((1, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    S = cfg.max_size
+    # stem_s2d models consume 2x2 space-to-depth input (12 channels)
+    x = jnp.zeros((1, S // 2, S // 2, 12) if cfg.stem_s2d
+                  else (1, S, S, 3), jnp.float32)
     y, _ = model.apply(variables, x, train=True, mutable=['batch_stats'])
 
     for k, a in y.items():

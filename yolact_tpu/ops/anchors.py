@@ -72,9 +72,15 @@ def _vgg_sizes(img: int, arch, extra_args, num_layers: int) -> List[int]:
                 cm = kw.get('ceil_mode', False)
                 s = _conv_out(s, k, st, p, ceil_mode=cm)
             else:
+                # mirror models/vgg.py exactly: the k=3/p=1 default applies
+                # only when the entry carries NO kwargs at all (the
+                # reference's `args is None` branch, backbone.py:388-389);
+                # any explicit kwargs fall back to torch Conv2d defaults
+                if not kw:
+                    kw = {'kernel_size': 3, 'padding': 1}
                 k = kw.get('kernel_size', 3)
                 st = kw.get('stride', 1)
-                p = kw.get('padding', 1 if 'kernel_size' not in kw else kw.get('padding', 0))
+                p = kw.get('padding', 0)
                 d = kw.get('dilation', 1)
                 s = _conv_out(s, k, st, p, d)
         sizes.append(s)
@@ -227,7 +233,7 @@ def spec_out_hw(spec, h: int, w: int) -> Tuple[int, int]:
             h, w = h * -k, w * -k
         else:                           # deconv
             kk = -k
-            s = kw.get('stride', kk)
+            s = kw.get('stride', 1)    # torch ConvTranspose2d default
             p = kw.get('padding', 0)
             h = (h - 1) * s - 2 * p + kk
             w = (w - 1) * s - 2 * p + kk
