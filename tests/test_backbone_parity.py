@@ -236,3 +236,40 @@ def test_specnet_deconv_parity(rng):
     # and the static shape helper agrees
     from yolact_tpu.ops.anchors import spec_out_hw
     assert spec_out_hw(spec, 16, 16) == tuple(want.shape[2:])
+
+
+def test_load_backbone_weights_actually_merge(refmod, rng, tmp_path):
+    """End-to-end pretrained-backbone init: load_backbone_weights +
+    merge_backbone must CHANGE the random-init backbone params
+    (regression: a (variables, unhandled) tuple was silently treated as
+    an empty dict and fresh runs trained from random init)."""
+    import jax
+    from yolact_tpu.config import get_config
+    from yolact_tpu.convert.backbone_import import (load_backbone_weights,
+                                                    merge_backbone)
+    from yolact_tpu.models.yolact import init_params
+
+    torch.manual_seed(5)
+    net = refmod.ResNetBackbone([1, 1, 1, 1])
+    pth = str(tmp_path / 'resnet_tiny.pth')
+    torch.save(net.state_dict(), pth)  # reference layers.N./conv1. layout
+
+    cfg = get_config('yolact_base').copy(
+        max_size=128,
+        backbone=get_config('yolact_base').backbone.copy(
+            args=((1, 1, 1, 1),)))
+    model, variables = init_params(cfg, seed=0)
+    before = np.asarray(
+        variables['params']['backbone']['conv1']['conv']['kernel']).copy()
+    merged = merge_backbone(variables, load_backbone_weights(cfg, pth))
+    after = np.asarray(
+        merged['params']['backbone']['conv1']['conv']['kernel'])
+    assert not np.allclose(before, after), \
+        'pretrained backbone weights were not merged'
+    want = np.transpose(net.state_dict()['conv1.weight'].numpy(),
+                        (2, 3, 1, 0))
+    np.testing.assert_allclose(after, want, atol=1e-6)
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        merge_backbone(variables, (variables, set()))  # the old bug shape

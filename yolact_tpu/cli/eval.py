@@ -51,8 +51,7 @@ def parse_args(argv=None):
     p.add_argument('--seed', default=None, type=int)
     p.add_argument('--mask_proto_debug', default=False, dest='mask_proto_debug',
                    action='store_true')
-    p.add_argument('--no_crop', default=False, dest='crop',
-                   action='store_false')
+    p.add_argument('--no_crop', dest='crop', action='store_false')
     p.add_argument('--image', default=None, type=str)
     p.add_argument('--images', default=None, type=str)
     p.add_argument('--video', default=None, type=str)
@@ -78,7 +77,7 @@ def parse_args(argv=None):
                         '(raw-image pipelines enable it automatically); '
                         'numerically equivalent — exposed for mAP A/B')
     p.set_defaults(no_bar=False, display=False, resume=False, detect=False,
-                   display_fps=False, emulate_playback=False)
+                   display_fps=False, emulate_playback=False, crop=True)
     return p.parse_args(argv)
 
 
@@ -229,8 +228,8 @@ def main(argv=None):
         evalvideo(cfg, variables, inp, out,
                   video_multiframe=args.video_multiframe,
                   maskiou_variables=maskiou_vars,
-                  score_threshold=args.score_threshold or 0.15,
-                  top_k=args.top_k, display_fps=True,
+                  score_threshold=args.score_threshold,
+                  top_k=args.top_k, display_fps=args.display_fps,
                   emulate_playback=args.emulate_playback,
                   display=args.display,
                   fast_nms=args.fast_nms,

@@ -109,9 +109,14 @@ def train(argv=None):
             overrides[k] = v
     if args.compute_dtype != 'float32':
         overrides['compute_dtype'] = args.compute_dtype
-    # freeze BN when per-chip batch < 6 (train.py:115-118)
-    n_dev = jax.device_count()
-    if args.batch_size // n_dev < 6:
+    # freeze BN when the per-DATA-shard batch < 6 (train.py:115-118).
+    # Mirror the mesh sizing below: the data axis is device_count /
+    # spatial_split, trimmed to divide the batch — dividing by the raw
+    # device count would wrongly freeze BN under --spatial_split
+    n_data = max(1, jax.device_count() // max(1, args.spatial_split))
+    while args.batch_size % n_data:
+        n_data -= 1
+    if args.batch_size // n_data < 6:
         print('Per-chip batch size is less than 6, auto-enabling freeze_bn.')
         overrides['freeze_bn'] = True
     if args.device_augment:
@@ -226,6 +231,7 @@ def train(argv=None):
 
     log = Log(cfg.name, args.log_folder,
               dict(args=vars(args), config_name=cfg.name),
+              overwrite=(args.resume is None),  # reference train.py:193
               log_gpu_stats=args.log_gpu) if args.log else None
 
     epoch_size = len(dataset) // args.batch_size
@@ -329,6 +335,11 @@ def train(argv=None):
     path = SavePath(cfg.name, epoch, iteration).get_path(
         root=args.save_folder)
     ckpt.save_checkpoint(state, path)
+
+    # validation mAP on the final weights (reference train.py:384-385
+    # computes it after the training loop)
+    if args.validation_epoch > 0:
+        compute_validation_map(cfg, state, args, log, epoch, iteration)
 
 
 def compute_validation_map(cfg, state, args, log, epoch, iteration):

@@ -118,22 +118,42 @@ def load_backbone_weights(cfg: YolactConfig, path: str):
         elif bb.type == 'vgg':
             if any(k.split('.')[0].isdigit() for k in sd):
                 sd = vgg_backbone_sd(bb.args[0], sd)
-    return convert_state_dict(cfg, _prefix_backbone(sd))
+    variables, unhandled = convert_state_dict(cfg, _prefix_backbone(sd))
+    if unhandled:
+        raise ValueError(
+            f'backbone checkpoint {path}: {len(unhandled)} unmapped '
+            f'parameters, e.g. {sorted(unhandled)[:5]}')
+    return variables
 
 
 def merge_backbone(variables: Dict, backbone_vars: Dict) -> Dict:
     """Overlay converted backbone weights onto freshly-initialised model
-    variables (the non-backbone params keep their xavier init)."""
+    variables (the non-backbone params keep their xavier init).
+
+    Raises if nothing merges — a silent no-op here means a fresh run
+    "initialised from pretrained weights" actually trains from random
+    init (the failure mode that once shipped when this was handed a
+    (variables, unhandled) tuple instead of the variables dict)."""
+    if not hasattr(backbone_vars, 'items'):
+        raise TypeError(
+            f'merge_backbone expects a variables dict, got '
+            f'{type(backbone_vars).__name__}')
+    merged = 0
+
     def merge(dst, src):
+        nonlocal merged
         for k, v in src.items():
             if isinstance(v, dict) and isinstance(dst.get(k), dict):
                 merge(dst[k], v)
             else:
                 dst[k] = v
+                merged += 1
     out = jax_tree_to_mutable(variables)
     for coll in ('params', 'batch_stats'):
         if coll in backbone_vars and backbone_vars[coll]:
             merge(out.setdefault(coll, {}), backbone_vars[coll])
+    if merged == 0:
+        raise ValueError('merge_backbone merged zero parameters')
     return out
 
 

@@ -59,21 +59,25 @@ def _conv_map(params, prefix: Path, torch_prefix: str, sd, deconv=False):
         _set(params, prefix + ('conv', 'bias'), sd[f'{torch_prefix}.bias'])
 
 
-def _specnet_entries(spec) -> Dict[int, str]:
-    """Sequential index -> layer kind for a make_net spec (conv/deconv/interp),
-    matching SpecNet naming (models/layers.py)."""
-    out = {}
+def _map_specnet(take, params, flax_prefix: Path, torch_prefix: str,
+                 spec, sd):
+    """Map a make_net Sequential's weights onto SpecNet's ``layers_{i}``
+    naming, recursing into 'cat' sub-networks (reference Concat keeps
+    them under ``.{i}.nets.{j}``, yolact.py:34-43)."""
     i = 0
     for entry in spec:
         num, k = entry[0], entry[1]
-        if k > 0:
-            out[i] = 'conv'
-        elif num is None:
-            out[i] = 'interp'
-        else:
-            out[i] = 'deconv'
+        if isinstance(num, str):            # 'cat'
+            for j, sub in enumerate(k):
+                _map_specnet(take, params,
+                             flax_prefix + (f'layers_{i}_cat_{j}',),
+                             f'{torch_prefix}.{i}.nets.{j}', sub, sd)
+        elif num is not None:               # conv (k>0) or deconv (k<0)
+            if f'{torch_prefix}.{i}.weight' in sd:
+                take(f'{torch_prefix}.{i}', _conv_map, params,
+                     flax_prefix + (f'layers_{i}',),
+                     f'{torch_prefix}.{i}', sd, deconv=k < 0)
         i += 2  # skip the ReLU slot
-    return out
 
 
 def convert_state_dict(cfg, sd: Dict[str, np.ndarray]):
@@ -200,15 +204,8 @@ def convert_state_dict(cfg, sd: Dict[str, np.ndarray]):
 
     # ---- protonet ----
     if any(k.startswith('proto_net.') for k in sd):
-        kinds = _specnet_entries(cfg.mask_proto_net)
-        pat = re.compile(r'proto_net\.(\d+)\.weight')
-        for k in list(sd):
-            m = pat.match(k)
-            if m:
-                i = int(m.group(1))
-                take(f'proto_net.{i}', _conv_map, params,
-                     ('proto', 'proto_net', f'layers_{i}'), f'proto_net.{i}',
-                     sd, deconv=kinds.get(i) == 'deconv')
+        _map_specnet(take, params, ('proto', 'proto_net'), 'proto_net',
+                     cfg.mask_proto_net, sd)
 
     # ---- prediction heads ----
     head_pat = re.compile(r'prediction_layers\.(\d+)\.(.*?)\.(\d+\.)?(weight|bias)')
@@ -218,15 +215,8 @@ def convert_state_dict(cfg, sd: Dict[str, np.ndarray]):
         hp = f'prediction_layers.{hi}'
         fp = (f'prediction_layers_{hi}',)
         if cfg.extra_head_net is not None:
-            kinds = _specnet_entries(cfg.extra_head_net)
-            for k in list(sd):
-                m = re.match(rf'{hp}\.upfeature\.(\d+)\.weight', k)
-                if m:
-                    i = int(m.group(1))
-                    take(f'{hp}.upfeature.{i}', _conv_map, params,
-                         fp + ('upfeature', f'layers_{i}'),
-                         f'{hp}.upfeature.{i}', sd,
-                         deconv=kinds.get(i) == 'deconv')
+            _map_specnet(take, params, fp + ('upfeature',),
+                         f'{hp}.upfeature', cfg.extra_head_net, sd)
         for layer in ('bbox_layer', 'conf_layer', 'mask_layer', 'score_layer',
                       'inst_layer', 'gate_layer'):
             if f'{hp}.{layer}.weight' in sd:

@@ -103,12 +103,18 @@ def rle_to_mask(rle: RLEObj) -> np.ndarray:
         counts = decode_counts(counts)
     counts = np.asarray(counts, np.int64)
     total = int(counts.sum())
+    if total > h * w:
+        # match the native path (and pycocotools): silently truncating a
+        # corrupt annotation would feed corrupt gt into training/eval
+        raise ValueError(
+            f'RLE runs exceed mask size {h}x{w} (corrupt annotation or '
+            'swapped height/width)')
     vals = np.zeros(len(counts), np.uint8)
     vals[1::2] = 1
     flat = np.repeat(vals, counts)
     if total < h * w:
         flat = np.concatenate([flat, np.zeros(h * w - total, np.uint8)])
-    return flat[:h * w].reshape((h, w), order='F').astype(bool)
+    return flat.reshape((h, w), order='F').astype(bool)
 
 
 def polygons_to_mask(polys: Sequence[Sequence[float]], h: int, w: int

@@ -69,6 +69,18 @@ class Log:
         entry['data'] = d
         if self.log_time:
             entry['time'] = time.time()
+        if self.log_gpu_stats:
+            # live per-entry accelerator stats like the reference's
+            # per-entry nvinfo scrape (logger.py:113-117) — PJRT HBM
+            # usage instead of nvidia-smi fields
+            try:
+                from yolact_tpu.utils.tpuinfo import device_info
+                entry['accelerators'] = [
+                    {k: v for k, v in dev.items()
+                     if k in ('id', 'bytes_in_use', 'peak_bytes_in_use')}
+                    for dev in device_info()]
+            except Exception:
+                pass
         self._write(entry)
 
 
