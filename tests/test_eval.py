@@ -284,20 +284,19 @@ def test_batch_loader_iterates(tiny_eval_setup):
     loader = BatchLoader(ds, batch_size=2, max_gt=8, num_workers=1,
                          prefetch=2)
     try:
-        seen = 0
-        for batch in loader:
+        # next_batch streams across epoch boundaries (3 > one epoch here);
+        # `for batch in loader` yields exactly one epoch like DataLoader
+        for _ in range(3):
+            batch = loader.next_batch()
             assert batch['image'].shape == (2, cfg.max_size, cfg.max_size, 3)
             assert batch['gt_boxes'].shape == (2, 8, 4)
             # masks ship bit-packed by default (8x less transfer)
             S = cfg.max_size
             assert batch['gt_masks_packed'].shape == (2, 8, S, -(-S // 8))
             assert batch['gt_masks_packed'].dtype == np.uint8
-            seen += 1
-            if seen >= 3:
-                break
+        assert len(list(loader)) == len(loader)  # one epoch per __iter__
     finally:
         loader.stop()
-    assert seen == 3
 
 
 def test_device_mask_iou_matches_host(tiny_eval_setup):

@@ -186,3 +186,53 @@ def test_load_checkpoint_migrates_old_optimizer_chain(tmp_path):
     tr = restored.opt_state[1].trace['model']['backbone']['conv1']['conv'][
         'kernel']
     assert float(np.asarray(tr).min()) == pytest.approx(1.0)
+
+
+def test_loader_deterministic_order_across_workers():
+    """Batch delivery is in epoch order regardless of worker count
+    (torch DataLoader reorders by index the same way), so a fixed seed
+    reproduces the exact batch sequence."""
+    from yolact_tpu.data.loader import BatchLoader
+
+    class _IdDataset(_FakeDataset):
+        def pull_item(self, i):
+            img, target, masks, h, w, nc = super().pull_item(i)
+            img = img + float(i)  # encode the dataset index
+            return img, target, masks, h, w, nc
+
+    def first_ids(workers):
+        loader = BatchLoader(_IdDataset(n=16), batch_size=4,
+                             num_workers=workers, seed=7)
+        try:
+            return [np.asarray(loader.next_batch()['image'])[:, 0, 0, 0]
+                    .round().tolist() for _ in range(8)]
+        finally:
+            loader.stop()
+
+    assert first_ids(1) == first_ids(4)
+
+
+def test_loader_next_batch_raises_after_stop():
+    from yolact_tpu.data.loader import BatchLoader
+    loader = BatchLoader(_FakeDataset(n=8), batch_size=4, num_workers=1)
+    loader.next_batch()
+    loader.stop()
+    import pytest
+    with pytest.raises(RuntimeError, match='stopped'):
+        # drain whatever was already queued, then it must raise (never
+        # block forever)
+        for _ in range(16):
+            loader.next_batch()
+
+
+def test_loader_short_batch_marks_num_valid():
+    from yolact_tpu.data.loader import BatchLoader
+    loader = BatchLoader(_FakeDataset(n=6), batch_size=4, num_workers=1,
+                         drop_last=False, shuffle=False)
+    try:
+        b1 = loader.next_batch()
+        b2 = loader.next_batch()
+    finally:
+        loader.stop()
+    assert 'num_valid' not in b1
+    assert b2['num_valid'] == 2  # 6 = 4 + 2: the tail batch wrapped around

@@ -24,15 +24,12 @@ from yolact_tpu.detect.postprocess import (postprocess_device,
 from yolact_tpu.models.yolact import MaskIoUHead, Yolact
 
 
-def preprocess_device(cfg: YolactConfig, img: jnp.ndarray,
-                      out_size: Optional[int] = None) -> jnp.ndarray:
+def preprocess_device(cfg: YolactConfig, img: jnp.ndarray) -> jnp.ndarray:
     """Device-side FastBaseTransform: [B, H, W, 3] BGR float [0,255] ->
     normalized RGB [B, S, S, 3] (augmentations.py:616-658)."""
     B = img.shape[0]
     img = img.astype(jnp.float32)
-    if out_size is not None:
-        size = (out_size, out_size)
-    elif cfg.preserve_aspect_ratio:
+    if cfg.preserve_aspect_ratio:
         # area-preserving target (augmentations.py:131-137, FastBaseTransform)
         from yolact_tpu.data.augmentations import calc_size_preserve_ar
         tw, th = calc_size_preserve_ar(img.shape[2], img.shape[1],
@@ -66,6 +63,14 @@ def preprocess_device_s2d(cfg: YolactConfig, img: jnp.ndarray) -> jnp.ndarray:
     folds the channel flip into its kernel — models/layers.py:Conv).
     Every full-image elementwise op then runs with 12 channels on the
     128-lane axis instead of 3, 4x less lane padding."""
+    # guard the preconditions maybe_enable_stem_s2d checks — a FORCED
+    # --stem_s2d on an unsupported config must error, not silently drop
+    # the last row/column (odd size) or squash aspect-preserving inputs
+    if cfg.max_size % 2:
+        raise ValueError(f'stem_s2d needs an even max_size, '
+                         f'got {cfg.max_size}')
+    if cfg.preserve_aspect_ratio:
+        raise ValueError('stem_s2d does not support preserve_aspect_ratio')
     B = img.shape[0]
     S = cfg.max_size
     img = img.astype(jnp.float32)
@@ -80,19 +85,16 @@ def preprocess_device_s2d(cfg: YolactConfig, img: jnp.ndarray) -> jnp.ndarray:
     t = cfg.backbone.transform
     mean = jnp.tile(jnp.asarray(MEANS, jnp.float32), 4)
     std = jnp.tile(jnp.asarray(STD, jnp.float32), 4)
-    eye = np.zeros((2, 2, 3, 12), np.float32)
-    for p in (0, 1):
-        for q in (0, 1):
-            for c in range(3):
-                eye[p, q, c, (p * 2 + q) * 3 + c] = 1.0   # ch=(p*2+q)*3+c
+    from yolact_tpu.models.layers import s2d_eye_kernel
+    eye = jnp.asarray(s2d_eye_kernel(3))          # ch = (p*2+q)*3+c
     if t.normalize:
-        kernel, shift = jnp.asarray(eye) / std, mean / std
+        kernel, shift = eye / std, mean / std
     elif t.subtract_means:
-        kernel, shift = jnp.asarray(eye), mean
+        kernel, shift = eye, mean
     elif t.to_float:
-        kernel, shift = jnp.asarray(eye) / 255.0, jnp.zeros(12)
+        kernel, shift = eye / 255.0, jnp.zeros(12)
     else:
-        kernel, shift = jnp.asarray(eye), jnp.zeros(12)
+        kernel, shift = eye, jnp.zeros(12)
     x = jax.lax.conv_general_dilated(
         img, kernel, (2, 2), 'VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -121,6 +123,23 @@ class InferenceOutput(NamedTuple):
     mask_scores: Optional[jnp.ndarray] = None  # [B, D] maskiou-rescored
 
 
+def _prepare_input(cfg: YolactConfig, images: jnp.ndarray,
+                   preprocess: bool) -> jnp.ndarray:
+    """Shared input preparation for the device programs: raw images get
+    the device FastBaseTransform (s2d-fused when cfg.stem_s2d); already
+    host-preprocessed (normalized RGB) input is space-to-depth'd on
+    device when the s2d stem is active (exact; models/layers.py:s2d_input).
+    ONE place owns the s2d dispatch rule so the fast-NMS and traditional
+    pipelines cannot drift."""
+    if preprocess:
+        return preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
+            else preprocess_device(cfg, images)
+    if cfg.stem_s2d:
+        from yolact_tpu.models.layers import s2d_input
+        return s2d_input(images, from_rgb=True)
+    return images
+
+
 def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
                        images: jnp.ndarray, preprocess: bool = True,
                        maskiou_variables: Optional[Dict] = None,
@@ -136,16 +155,7 @@ def forward_and_detect(cfg: YolactConfig, model: Yolact, variables: Dict,
             'use_fast_nms=False is the host traditional-NMS path: use '
             'forward_raw + eval.traditional.traditional_nms (see '
             'eval/evaluate.py), not forward_and_detect')
-    if preprocess:
-        x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
-            else preprocess_device(cfg, images)
-    elif cfg.stem_s2d:
-        # host-preprocessed (normalized RGB) input, s2d stem requested:
-        # rearrange on device (exact; models/layers.py:s2d_input)
-        from yolact_tpu.models.layers import s2d_input
-        x = s2d_input(images, from_rgb=True)
-    else:
-        x = images
+    x = _prepare_input(cfg, images, preprocess)
     preds = model.apply(variables, x, train=False)
     dets = detect(cfg, preds, use_fast_nms=use_fast_nms,
                   use_cross_class_nms=use_cross_class_nms)
@@ -172,16 +182,7 @@ def forward_raw(cfg: YolactConfig, model: Yolact, variables: Dict,
     flattened sigmoid mask patches."""
     from yolact_tpu.detect.detection import eval_scores
     from yolact_tpu.ops.boxes import decode
-    if preprocess:
-        x = preprocess_device_s2d(cfg, images) if cfg.stem_s2d \
-            else preprocess_device(cfg, images)
-    elif cfg.stem_s2d:
-        # host-preprocessed (normalized RGB) input, s2d stem requested:
-        # rearrange on device (exact; models/layers.py:s2d_input)
-        from yolact_tpu.models.layers import s2d_input
-        x = s2d_input(images, from_rgb=True)
-    else:
-        x = images
+    x = _prepare_input(cfg, images, preprocess)
     preds = model.apply(variables, x, train=False)
     conf = eval_scores(cfg, preds)
     scores = jnp.swapaxes(conf[..., 1:], 1, 2)

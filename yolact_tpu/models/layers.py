@@ -67,6 +67,21 @@ def s2d_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return wp.reshape(4, 4, 4 * cin, cout)
 
 
+def s2d_eye_kernel(cin: int = 3, from_rgb: bool = False) -> np.ndarray:
+    """[2,2,cin,4*cin] one-hot kernel implementing 2x2 space-to-depth with
+    output channel layout ``(p*2+q)*cin + c`` — THE s2d contract shared by
+    :func:`s2d_input`, :func:`s2d_stem_kernel` and the fused device
+    preprocess (infer.preprocess_device_s2d).  ``from_rgb`` permutes the
+    channel column so an RGB input lands in raw (BGR) order for free."""
+    eye = np.zeros((2, 2, cin, 4 * cin), np.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for c in range(cin):
+                out_c = (cin - 1 - c) if from_rgb else c
+                eye[p, q, c, (p * 2 + q) * cin + out_c] = 1.0
+    return eye
+
+
 def s2d_input(img: jnp.ndarray, from_rgb: bool = False) -> jnp.ndarray:
     """[B,H,W,3] -> 2x2 space-to-depth [B,H/2,W/2,12] in RAW (BGR) channel
     order (the stem conv's contract), via a one-hot stride-2 conv — the
@@ -75,12 +90,7 @@ def s2d_input(img: jnp.ndarray, from_rgb: bool = False) -> jnp.ndarray:
     for free (kernel column permutation)."""
     if img.shape[1] % 2 or img.shape[2] % 2:
         raise ValueError('s2d input needs even H and W')
-    eye = np.zeros((2, 2, 3, 12), np.float32)
-    for p in (0, 1):
-        for q in (0, 1):
-            for c in range(3):
-                out_c = (2 - c) if from_rgb else c
-                eye[p, q, c, (p * 2 + q) * 3 + out_c] = 1.0
+    eye = s2d_eye_kernel(3, from_rgb=from_rgb)
     return jax.lax.conv_general_dilated(
         img, jnp.asarray(eye, img.dtype), (2, 2), 'VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))

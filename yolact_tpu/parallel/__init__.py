@@ -1,2 +1,3 @@
 from yolact_tpu.parallel.mesh import (
-    make_mesh, shard_batch, replicate, batch_sharding)
+    make_mesh, make_mesh_2d, shard_batch, shard_batch_spatial, replicate,
+    batch_sharding)
