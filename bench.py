@@ -88,16 +88,24 @@ def main():
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             # under a static trip count, reuse the warmed-up n — any other
-            # n would recompile inside the trace
-            jax.block_until_ready(chained(imgs, iters if unroll > 1 else 3))
+            # n would recompile inside the trace; perturb the input so the
+            # relay cannot coalesce this with the warmup dispatch
+            jax.block_until_ready(chained(imgs + 1e-6,
+                                          iters if unroll > 1 else 3))
         print(f'# profile written to {profile_dir}', file=sys.stderr)
 
     # fetching the scalar is the completion fence: through the TPU relay,
     # block_until_ready has been observed returning before remote
     # execution finishes on large donated pytrees (scripts/bench_train.py
-    # hit this); float() always round-trips.
+    # hit this); float() always round-trips.  The input is perturbed so
+    # no dispatch is byte-identical to the warmup/profile ones (the relay
+    # dedups identical async dispatches — with BENCH_UNROLL>1 the trip
+    # count is static, so an unperturbed timed call would otherwise be
+    # the exact same executable + args as the warmup).
+    imgs2 = imgs + 2e-6
+    _ = float(jnp.sum(imgs2))  # settle the perturbation transfer
     t0 = time.perf_counter()
-    _ = float(chained(imgs, iters))
+    _ = float(chained(imgs2, iters))
     dt = (time.perf_counter() - t0) / iters
 
     fps = batch / dt

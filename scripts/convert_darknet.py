@@ -37,28 +37,60 @@ def load_weights_binary(path):
     pos = 0
     sd = {}
     for prefix, out_ch, in_ch, k in conv_names():
-        sub = prefix if prefix == '_preconv' else prefix
         def take(n):
             nonlocal pos
             v = data[pos:pos + n]
+            if len(v) < n:
+                raise ValueError(
+                    f'weight file too short at {prefix} '
+                    f'(need {n} floats, have {len(v)})')
             pos += n
             return v
-        sd[f'{sub}.1.bias'] = take(out_ch)
-        sd[f'{sub}.1.weight'] = take(out_ch)
-        sd[f'{sub}.1.running_mean'] = take(out_ch)
-        sd[f'{sub}.1.running_var'] = take(out_ch)
+        sd[f'{prefix}.1.bias'] = take(out_ch)
+        sd[f'{prefix}.1.weight'] = take(out_ch)
+        sd[f'{prefix}.1.running_mean'] = take(out_ch)
+        sd[f'{prefix}.1.running_var'] = take(out_ch)
         w = take(out_ch * in_ch * k * k).reshape(out_ch, in_ch, k, k)
-        sd[f'{sub}.0.weight'] = w
-    assert pos <= len(data), 'weight file too short'
+        sd[f'{prefix}.0.weight'] = w
+    if pos != len(data):
+        # a yolov3.weights (backbone + heads) parses the backbone cleanly
+        # but leaves trailing tensors — refuse instead of silently
+        # writing a .pth from the wrong file
+        raise ValueError(
+            f'{len(data) - pos} trailing floats after the darknet53 '
+            'backbone — this is not a bare darknet53.weights file')
+    return sd
+
+
+def load_h5(path):
+    """Keras h5 (the reference's input): conv2d_%d / batch_normalization_%d
+    groups, enumerated against our torch key prefixes sorted
+    lexicographically — the exact pairing the reference converter uses
+    (scripts/convert_darknet.py; safe because darknet53 stages have <10
+    blocks, as its own comment notes).  Kernels permute HWIO -> OIHW."""
+    import h5py  # gated: not in the base image
+    prefixes = sorted(p for p, _, _, _ in conv_names())
+    sd = {}
+    with h5py.File(path, 'r') as f:
+        m = f['model_weights'] if 'model_weights' in f else f
+        for i, prefix in enumerate(prefixes, 1):
+            ck, bk = f'conv2d_{i}', f'batch_normalization_{i}'
+            conv = m[ck][ck] if ck in m[ck] else m[ck]
+            bn = m[bk][bk] if bk in m[bk] else m[bk]
+            sd[f'{prefix}.0.weight'] = np.array(
+                conv['kernel:0']).transpose(3, 2, 0, 1)
+            sd[f'{prefix}.1.bias'] = np.array(bn['beta:0'])
+            sd[f'{prefix}.1.weight'] = np.array(bn['gamma:0'])
+            sd[f'{prefix}.1.running_mean'] = np.array(bn['moving_mean:0'])
+            sd[f'{prefix}.1.running_var'] = np.array(
+                bn['moving_variance:0'])
     return sd
 
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
     if src.endswith('.h5'):
-        import h5py  # gated: not in the base image
-        with h5py.File(src, 'r') as f:
-            sd = {k: np.array(v) for k, v in f.items()}
+        sd = load_h5(src)
     else:
         sd = load_weights_binary(src)
     import torch

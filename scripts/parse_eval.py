@@ -15,7 +15,7 @@ def parse(text):
         cells = [c.strip() for c in line.strip().split('|') if c.strip()]
         if not cells:
             continue
-        if cells[0] == 'all' or (cells and cells[0].startswith('.')):
+        if cells[0] == 'all':
             header = ['all'] + [c.lstrip('.').strip() for c in cells[1:]]
         elif cells[0] in ('box', 'mask') and header:
             vals = [float(v) for v in cells[1:]]

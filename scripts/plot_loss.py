@@ -21,14 +21,20 @@ def main():
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
-    iters = viz.query('data.iter', 'train')
     plt.figure(figsize=(10, 6))
     entries = [e for e in viz.logs if e.get('type') == 'train']
     if entries:
-        letters = sorted(entries[0]['data'].get('loss', {}).keys())
+        # letters from the union of entries (a resumed run can add loss
+        # terms mid-log); x/y paired PER ENTRY so missing letters skip
+        # their entries instead of shifting the curve
+        letters = sorted({k for e in entries
+                          for k in e['data'].get('loss', {})})
         for letter in letters:
-            ys = [e['data']['loss'].get(letter) for e in entries]
-            plt.plot(iters[:len(ys)], ys, label=letter)
+            pairs = viz.query_joined(
+                ('data.iter', f'data.loss.{letter}'), 'train')
+            if pairs:
+                xs, ys = zip(*pairs)
+                plt.plot(xs, ys, label=letter)
     plt.xlabel('iteration')
     plt.ylabel('loss')
     plt.legend()

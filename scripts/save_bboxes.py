@@ -6,7 +6,10 @@ other design script (augment_bbox, bbox_recall, cluster_bbox_sizes,
 optimize_bboxes) consumes.  ``.pkl`` or ``.npy`` by extension.
 
 Usage: python scripts/save_bboxes.py <instances.json> [out.pkl|.npy]
-       [--include-crowd]
+       [--exclude-crowd]
+
+Crowd annotations are INCLUDED by default like the reference (it appends
+every annotation with a bbox); --exclude-crowd drops them.
 """
 
 import argparse
@@ -23,7 +26,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('info')
     ap.add_argument('out', nargs='?', default='weights/bboxes.pkl')
-    ap.add_argument('--include-crowd', action='store_true')
+    ap.add_argument('--exclude-crowd', action='store_true')
     args = ap.parse_args(argv)
 
     coco = COCOIndex(args.info)
@@ -32,7 +35,7 @@ def main(argv=None):
         im = coco.imgs[img_id]
         w, h = im['width'], im['height']
         for a in anns:
-            if a.get('iscrowd') and not args.include_crowd:
+            if a.get('iscrowd') and args.exclude_crowd:
                 continue
             if 'bbox' in a:
                 rows.append([w, h] + list(a['bbox']))

@@ -121,18 +121,27 @@ def plot_log(log_path, out_png):
     fig, (ax, ax2) = plt.subplots(
         2, 1, figsize=(9, 7), sharex=True,
         gridspec_kw={'height_ratios': [3, 1]})
+    # x/y paired per entry (query_joined): entries missing a value skip,
+    # instead of shifting the curve onto the earliest iterations
     for letter in letters:
-        ys = vis.query(f'data.loss.{letter}', 'train')
-        ax.plot(iters[:len(ys)], ys, label=letter, linewidth=1.0)
-    totals = vis.query(lambda e: sum(e['data']['loss'].values()), 'train')
-    ax.plot(iters[:len(totals)], totals, label='total', color='k',
-            linewidth=1.8)
+        pairs = vis.query_joined(('data.iter', f'data.loss.{letter}'),
+                                 'train')
+        if pairs:
+            xs, ys = zip(*pairs)
+            ax.plot(xs, ys, label=letter, linewidth=1.0)
+    totals = vis.query_joined(
+        ('data.iter', lambda e: sum(e['data']['loss'].values())), 'train')
+    if totals:
+        xs, ys = zip(*totals)
+        ax.plot(xs, ys, label='total', color='k', linewidth=1.8)
     ax.set_yscale('log')
     ax.set_ylabel('loss')
     ax.legend(ncol=4, fontsize=8)
     ax.set_title(os.path.basename(log_path))
-    lrs = vis.query('data.lr', 'train')
-    ax2.plot(iters[:len(lrs)], lrs, color='tab:gray')
+    lr_pairs = vis.query_joined(('data.iter', 'data.lr'), 'train')
+    if lr_pairs:
+        xs, lrs = zip(*lr_pairs)
+        ax2.plot(xs, lrs, color='tab:gray')
     ax2.set_ylabel('lr')
     ax2.set_xlabel('iteration')
     fig.tight_layout()

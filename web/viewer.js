@@ -44,13 +44,18 @@ async function render() {
   const thresh = parseFloat($('thresh').value);
   const dets = imgObj.dets.filter(d => d.score >= thresh);
 
+  // generation guard: a slow earlier image load must not clobber a
+  // newer render after the user switched images
+  const gen = (state.renderGen = (state.renderGen || 0) + 1);
   const img = new Image();
   img.onload = () => {
+    if (gen !== state.renderGen) return;  // stale load
     canvas.width = img.width; canvas.height = img.height;
     ctx.drawImage(img, 0, 0);
     draw(ctx, dets, img.width, img.height);
   };
   img.onerror = () => {
+    if (gen !== state.renderGen) return;  // stale load
     // no image on disk: draw on a blank canvas sized from the first mask
     const size = dets.length ? dets[0].mask.size : [480, 640];
     canvas.height = size[0]; canvas.width = size[1];
@@ -63,12 +68,16 @@ async function render() {
 }
 
 function draw(ctx, dets, W, H) {
-  dets.forEach((d, i) => {
-    const c = color(i);
-    if ($('showMasks').checked && d.mask) {
+  // one readback, all masks blended, one writeback (a per-detection
+  // getImageData/putImageData pair is O(W*H) each and makes the
+  // threshold slider visibly laggy on real images)
+  if ($('showMasks').checked && dets.some(d => d.mask)) {
+    const im = ctx.getImageData(0, 0, W, H);
+    const a = 0.45;
+    dets.forEach((d, i) => {
+      if (!d.mask) return;
+      const c = color(i);
       const m = rleToMask(d.mask);
-      const im = ctx.getImageData(0, 0, W, H);
-      const a = 0.45;
       for (let y = 0; y < Math.min(m.h, H); y++)
         for (let x = 0; x < Math.min(m.w, W); x++)
           if (m.data[y * m.w + x]) {
@@ -77,8 +86,11 @@ function draw(ctx, dets, W, H) {
             im.data[o + 1] = im.data[o + 1] * (1 - a) + c[1] * a;
             im.data[o + 2] = im.data[o + 2] * (1 - a) + c[2] * a;
           }
-      ctx.putImageData(im, 0, 0);
-    }
+    });
+    ctx.putImageData(im, 0, 0);
+  }
+  dets.forEach((d, i) => {
+    const c = color(i);
     if ($('showBoxes').checked) {
       ctx.strokeStyle = `rgb(${c[0]},${c[1]},${c[2]})`;
       ctx.lineWidth = 2;
