@@ -226,3 +226,60 @@ def test_flops_accounting():
     assert row['params_m'] > 0.1
     tr = forward_flops('tiny_flops_probe', batch=2, train=True)
     assert tr['flops_per_image_g'] >= row['flops_per_image_g']
+
+
+def test_convert_darknet_h5_roundtrip(tmp_path, monkeypatch):
+    """The keras-h5 path maps conv2d_%d / batch_normalization_%d groups to
+    our torch prefixes in lexicographic order with HWIO->OIHW kernels
+    (reference scripts/convert_darknet.py semantics)."""
+    h5py = pytest.importorskip('h5py')
+    import scripts.convert_darknet as cd
+
+    # shrink the architecture so the synthetic h5 stays tiny
+    monkeypatch.setattr(cd, 'LAYERS', (1, 1))
+    monkeypatch.setattr(cd, 'CHANNELS', (4, 8))
+
+    rng = np.random.RandomState(0)
+    prefixes = sorted(p for p, _, _, _ in cd.conv_names())
+    specs = {p: (o, i, k) for p, o, i, k in cd.conv_names()}
+    want = {}
+    path = tmp_path / 'darknet.h5'
+    with h5py.File(path, 'w') as f:
+        m = f.create_group('model_weights')
+        for idx, prefix in enumerate(prefixes, 1):
+            out_ch, in_ch, k = specs[prefix]
+            w_oihw = rng.rand(out_ch, in_ch, k, k).astype(np.float32)
+            g = m.create_group(f'conv2d_{idx}').create_group(
+                f'conv2d_{idx}')
+            g.create_dataset('kernel:0',
+                             data=w_oihw.transpose(2, 3, 1, 0))  # HWIO
+            b = m.create_group(f'batch_normalization_{idx}').create_group(
+                f'batch_normalization_{idx}')
+            vals = {}
+            for name, key in (('beta:0', 'bias'), ('gamma:0', 'weight'),
+                              ('moving_mean:0', 'running_mean'),
+                              ('moving_variance:0', 'running_var')):
+                v = rng.rand(out_ch).astype(np.float32)
+                b.create_dataset(name, data=v)
+                vals[key] = v
+            want[f'{prefix}.0.weight'] = w_oihw
+            for key, v in vals.items():
+                want[f'{prefix}.1.{key}'] = v
+
+    sd = cd.load_h5(str(path))
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_allclose(sd[k], want[k], err_msg=k)
+
+
+def test_convert_darknet_rejects_trailing_weights(tmp_path):
+    """A yolov3.weights (backbone + heads) must be refused, not silently
+    truncated into a 'converted' darknet53."""
+    from scripts.convert_darknet import conv_names, load_weights_binary
+    total = sum(4 * o + o * i * k * k for _, o, i, k in conv_names())
+    path = tmp_path / 'yolov3.weights'
+    with open(path, 'wb') as f:
+        np.zeros(5, np.int32).tofile(f)
+        np.random.rand(total + 1000).astype(np.float32).tofile(f)
+    with pytest.raises(ValueError, match='trailing'):
+        load_weights_binary(str(path))
