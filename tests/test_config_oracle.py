@@ -136,3 +136,23 @@ def test_config_fields_match_reference(refcfg, name):
             continue
         ov = getattr(ours.dataset, key, ('<MISSING>',))
         assert _norm(ov) == _norm(rv), (f'dataset.{key}', rv, ov)
+
+
+def test_constants_match_reference(refcfg):
+    from yolact_tpu.config import COLORS, MEANS, STD
+    assert tuple(MEANS) == tuple(refcfg.MEANS)
+    assert tuple(STD) == tuple(refcfg.STD)
+    assert tuple(tuple(c) for c in COLORS) == \
+        tuple(tuple(c) for c in refcfg.COLORS)
+
+
+def test_all_reference_configs_covered(refcfg):
+    """Every *_config object the reference defines resolves here too."""
+    import data.config as rc
+    from yolact_tpu.config import get_config
+    names = [k[:-len('_config')] for k, v in vars(rc).items()
+             if k.endswith('_config') and isinstance(v, rc.Config)
+             and k != 'coco_base_config' and not k.startswith('dataset')]
+    for n in names:
+        get_config(n)  # raises on unknown
+    assert len(names) >= 8
