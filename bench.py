@@ -26,7 +26,29 @@ import yolact_tpu.utils.jax_setup  # noqa: F401  persistent compile cache
 
 
 def main():
+    import threading
+
     import jax
+
+    # fail fast instead of hanging forever when the remote-TPU relay is
+    # unreachable (jax.devices() blocks indefinitely in the claim leg —
+    # observed on this rig; see __graft_entry__.dryrun_multichip)
+    probe = {'n': None}
+
+    def _probe():
+        try:
+            probe['n'] = len(jax.devices())
+        except Exception:
+            probe['n'] = 0
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=180.0)
+    if probe['n'] is None:
+        print('bench.py: device probe timed out — accelerator platform '
+              'unreachable; aborting instead of hanging', file=sys.stderr)
+        sys.exit(1)
+
     import jax.numpy as jnp
 
     from yolact_tpu.config import get_config
