@@ -80,6 +80,9 @@ def train_step_flops(config_name: str, batch: int = 8,
             jnp.asarray([[0.1, 0.1, 0.6, 0.6]], jnp.float32)[None],
             (batch, G, 1)),
         gt_labels=jnp.ones((batch, G), jnp.int32),
+        # full-res masks: the FLOPs superset (the production multires path
+        # skips the on-device gt downsample, so its step costs slightly
+        # LESS than reported here — conservative for MFU)
         gt_masks=jnp.zeros((batch, G, S, S), jnp.uint8),
         num_gts=jnp.full(batch, G - 1, jnp.int32),
         num_crowds=jnp.ones(batch, jnp.int32))
