@@ -12,7 +12,8 @@ the previous iteration's output (one scalar folded into one pixel), forcing
 N genuinely serial executions on device, and blocks once at the end.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: 33.5 fps for yolact_base on a Titan Xp (README.md:72).
+Baseline: the reference's published Titan Xp fps for the benched config
+(README.md:70-80) — 33.5 for the default yolact_base.
 """
 
 import json
@@ -131,11 +132,18 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     fps = batch / dt
+    # reference Titan Xp fps per released config (README.md:70-80);
+    # unlisted configs fall back to the yolact_base headline number
+    ref_fps = {
+        'yolact_base': 33.5, 'yolact_im700': 23.6,
+        'yolact_resnet50': 42.5, 'yolact_darknet53': 40.0,
+        'yolact_plus_base': 27.3, 'yolact_plus_resnet50': 33.5,
+    }.get(config_name, 33.5)
     print(json.dumps({
         'metric': f'{config_name}_{cfg.max_size}_e2e_fps_b{batch}_{dtype}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
-        'vs_baseline': round(fps / 33.5, 3),
+        'vs_baseline': round(fps / ref_fps, 3),
     }))
 
 
