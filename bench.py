@@ -133,14 +133,17 @@ def main():
 
     fps = batch / dt
     # reference Titan Xp fps per released config (README.md:70-80);
-    # unlisted configs fall back to the yolact_base headline number
+    # unlisted configs fall back to the yolact_base headline number.
+    # Keyed on the resolved config's canonical name, not the raw
+    # BENCH_CONFIG string (get_config also accepts '_config'-suffixed
+    # names, which must not fall through to the default baseline).
     ref_fps = {
         'yolact_base': 33.5, 'yolact_im700': 23.6,
         'yolact_resnet50': 42.5, 'yolact_darknet53': 40.0,
         'yolact_plus_base': 27.3, 'yolact_plus_resnet50': 33.5,
-    }.get(config_name, 33.5)
+    }.get(cfg.name, 33.5)
     print(json.dumps({
-        'metric': f'{config_name}_{cfg.max_size}_e2e_fps_b{batch}_{dtype}',
+        'metric': f'{cfg.name}_{cfg.max_size}_e2e_fps_b{batch}_{dtype}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / ref_fps, 3),
