@@ -187,3 +187,56 @@ def test_preprocess_device_channel_orders():
             ref = ref[..., ['BGR'.index(c) for c in order]]
             np.testing.assert_allclose(got, ref, atol=1e-5,
                                        err_msg=f'{order}/{mode}')
+
+
+def test_mask_proto_use_grid_forward(tmp_path):
+    """A ``mask_proto_use_grid`` config builds and runs: the grid file's
+    planes are concatenated to the proto-net input as extra channels
+    (yolact.py:411-413,584-586).  The repo ships ``data/grid.npy``
+    (32x35x35, mirroring the reference asset) for the 35x35-convout
+    grid-prior configs; tiny configs need a grid matching their own P3
+    size, generated here via scripts/make_grid.py."""
+    import os
+    import subprocess
+    import sys
+
+    from yolact_tpu.ops.anchors import feature_map_sizes
+
+    cfg = tiny_resnet_config()
+    p3 = feature_map_sizes(cfg)[0]
+    grid_file = str(tmp_path / 'grid.npy')
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, 'scripts/make_grid.py'),
+         '--size', f'{p3[0]},{p3[1]}', '--random', '4', '--seed', '0',
+         '--out', grid_file], check=True, cwd=repo)
+    cfg = cfg.copy(mask_proto_use_grid=True, mask_proto_grid_file=grid_file)
+    _, out = _forward(cfg)
+    assert out['proto'].shape[-1] == cfg.mask_dim
+    assert np.all(np.isfinite(np.asarray(out['proto'])))
+
+    # wrong-sized grid fails with an actionable error, not a cryptic
+    # concat shape mismatch
+    bad = str(tmp_path / 'bad.npy')
+    np.save(bad, np.zeros((2, 3, 3), np.float32))
+    with pytest.raises(ValueError, match='make_grid'):
+        _forward(cfg.copy(mask_proto_grid_file=bad))
+
+
+def test_shipped_grid_asset_resolves_from_any_cwd(tmp_path, monkeypatch):
+    """The default ``data/grid.npy`` (relative path in the config) is
+    shipped and resolves against the repo root when CWD is elsewhere."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    g = np.load(os.path.join(repo, 'data/grid.npy'))
+    assert g.shape == (32, 35, 35)  # reference asset shape
+
+    monkeypatch.chdir(tmp_path)
+    from yolact_tpu.config import get_config
+    cfg = get_config('yolact_base').copy(mask_proto_use_grid=True)
+    # 550^2 base config: P3 convout is 69x69 != 35 -> the loader must get
+    # far enough to read the file (proving path resolution) and then fail
+    # on the documented size check
+    with pytest.raises(ValueError, match='make_grid'):
+        _forward(cfg)

@@ -42,8 +42,26 @@ class ProtoNet(nn.Module):
     def __call__(self, x):
         if self.cfg.mask_proto_use_grid:
             # extra coordinate-grid input features (yolact.py:411-413,584-586)
+            import os
+
             import numpy as np
-            grid = np.load(self.cfg.mask_proto_grid_file)  # [g, h, w]
+            path = self.cfg.mask_proto_grid_file
+            if not os.path.isabs(path) and not os.path.exists(path):
+                # resolve relative to the repo root so grid configs work
+                # from any CWD (the reference resolves vs CWD only)
+                root = os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))))
+                cand = os.path.join(root, path)
+                if os.path.exists(cand):
+                    path = cand
+            grid = np.load(path)  # [g, h, w]
+            if grid.shape[1:] != x.shape[1:3]:
+                raise ValueError(
+                    f'mask_proto_grid_file {path!r} has spatial shape '
+                    f'{grid.shape[1:]} but the proto-net input convout is '
+                    f'{tuple(x.shape[1:3])}; regenerate with '
+                    f'scripts/make_grid.py --size '
+                    f'{x.shape[1]},{x.shape[2]}')
             g = jnp.asarray(np.transpose(grid, (1, 2, 0)), x.dtype)
             g = jnp.broadcast_to(g[None], (x.shape[0],) + g.shape)
             x = jnp.concatenate([x, g], axis=-1)
