@@ -171,40 +171,81 @@ def prep_metrics(ap_data, classes: Sequence[int],
         ('mask', mask_iou_cache, crowd_mask_iou, mask_scores, mask_indices),
     ]
 
-    for _class in set(classes + gt_classes):
-        num_gt_for_class = sum(1 for x in gt_classes if x == _class)
-        for iou_idx, iou_threshold in enumerate(IOU_THRESHOLDS):
-            for iou_type, iou_cache, crowd_cache, scores, indices in iou_types:
-                gt_used = [False] * num_gt
-                ap_obj = ap_data[iou_type][iou_idx][_class]
-                ap_obj.add_gt_positives(num_gt_for_class)
+    # Vectorized greedy matching (semantics of eval.py:457-510, bit-equal).
+    # One pass over all dets in score order per iou_type, with ALL 10 IoU
+    # thresholds advanced simultaneously as a vector lane.  Greedy matching
+    # is independent across classes (a det only matches same-class gts), so
+    # a single global `used` matrix with per-det class masking reproduces
+    # the reference's per-class loops exactly: each det takes, per
+    # threshold, the lowest-index unused same-class gt of maximal IoU
+    # strictly above the threshold (np.argmax's first-max rule == the
+    # reference's `iou > max_iou_found` scan order).  Push order within
+    # each APDataObject is the same filtered score order as the reference,
+    # so equal-score tie-breaking in get_ap()'s stable sort is preserved.
+    thr = np.asarray(IOU_THRESHOLDS, np.float64)
+    T = len(IOU_THRESHOLDS)
+    t_range = np.arange(T)
+    classes_arr = np.asarray(classes, np.int64).reshape(-1)
+    gt_classes_arr = np.asarray(gt_classes, np.int64).reshape(-1)
+    crowd_classes_arr = np.asarray(crowd_classes, np.int64).reshape(-1)
+    class_set = set(classes + gt_classes)
+    gt_count = {c: int((gt_classes_arr == c).sum()) for c in class_set}
 
-                for i in indices:
-                    if classes[i] != _class:
-                        continue
-                    max_iou_found = iou_threshold
-                    max_match_idx = -1
-                    for j in range(num_gt):
-                        if gt_used[j] or gt_classes[j] != _class:
-                            continue
-                        iou = float(iou_cache[i, j])
-                        if iou > max_iou_found:
-                            max_iou_found = iou
-                            max_match_idx = j
-                    if max_match_idx >= 0:
-                        gt_used[max_match_idx] = True
-                        ap_obj.push(scores[i], True)
-                    else:
-                        matched_crowd = False
-                        if num_crowd > 0:
-                            for j in range(len(crowd_classes)):
-                                if crowd_classes[j] != _class:
-                                    continue
-                                if float(crowd_cache[i, j]) > iou_threshold:
-                                    matched_crowd = True
-                                    break
-                        if not matched_crowd:
-                            ap_obj.push(scores[i], False)
+    for iou_type, iou_cache, crowd_cache, scores, indices in iou_types:
+        idx = np.asarray(indices, np.int64)
+        det_cls = classes_arr[idx]                                 # [N]
+        N = len(idx)
+
+        if num_crowd > 0 and N:
+            # crowd IoU vs same-class crowd gts only, max over crowds
+            crowd_ord = np.asarray(crowd_cache, np.float64)[idx]   # [N, C]
+            ceq = crowd_classes_arr[None, :] == det_cls[:, None]
+            crowd_max = np.where(ceq, crowd_ord, -1.0).max(axis=1)
+            matched_crowd = crowd_max[None, :] > thr[:, None]      # [T, N]
+        else:
+            matched_crowd = np.zeros((T, N), bool)
+
+        is_true = np.zeros((T, N), bool)
+        if num_gt and N:
+            iou_ord = np.asarray(iou_cache, np.float64)[idx]       # [N, G]
+            eq = gt_classes_arr[None, :] == det_cls[:, None]       # [N, G]
+            iou_ord = np.where(eq, iou_ord, -1.0)
+            used = np.zeros((T, num_gt), bool)
+            # a det whose best same-class IoU is <= the lowest threshold
+            # can never match (matching is strict >) and never consumes a
+            # gt at any threshold — only the rest need the sequential pass
+            candidates = np.nonzero(iou_ord.max(axis=1) > thr[0])[0]
+            for d in candidates:
+                masked = np.where(used, -1.0, iou_ord[d][None, :])
+                j = masked.argmax(axis=1)                          # [T]
+                ok = masked[t_range, j] > thr                      # [T]
+                used[t_range[ok], j[ok]] = True
+                is_true[:, d] = ok
+
+        keep = is_true | ~matched_crowd                            # [T, N]
+        scores_ord = np.asarray([scores[i] for i in indices], np.float64)
+        for _class in class_set:
+            dsel = np.nonzero(det_cls == _class)[0]
+            kt, tt = keep[:, dsel], is_true[:, dsel]
+            if len(dsel) and kt.all() and not tt.any():
+                # common case: no matches and no crowd hits for this class
+                # -> every threshold pushes the identical false-positive
+                # list; build the (score, False) pairs once
+                pairs = list(zip(scores_ord[dsel].tolist(),
+                                 (False,) * len(dsel)))
+                for iou_idx in range(T):
+                    ap_obj = ap_data[iou_type][iou_idx][_class]
+                    ap_obj.add_gt_positives(gt_count[_class])
+                    ap_obj.data_points.extend(pairs)
+                continue
+            for iou_idx in range(T):
+                ap_obj = ap_data[iou_type][iou_idx][_class]
+                ap_obj.add_gt_positives(gt_count[_class])
+                k = kt[iou_idx]
+                if len(dsel) and k.any():
+                    ap_obj.data_points.extend(zip(
+                        scores_ord[dsel[k]].tolist(),
+                        tt[iou_idx][k].tolist()))
 
 
 def calc_map(ap_data, class_names: Sequence[str],
