@@ -78,28 +78,45 @@ def main():
             jax.random.PRNGKey(1), jnp.zeros((1, Hp, Hp, 1), jnp.float32))
 
     unroll = int(os.environ.get('BENCH_UNROLL', '1'))
+    # BENCH_STREAMS=k interleaves k independent serial chains in the loop
+    # body: each stream's next input depends only on its own previous
+    # output, so XLA overlaps stream j's drain/fill bubble with stream
+    # j+1's compute — steady-state *throughput* (k concurrent videos),
+    # vs the default k=1 conservative per-frame-latency chain (the
+    # reference pays a per-frame torch.cuda.synchronize, eval.py:153-171).
+    streams = int(os.environ.get('BENCH_STREAMS', '1'))
 
     @partial(jax.jit, static_argnums=(1,) if unroll > 1 else ())
     def chained(images, n):
+        # `images` is a tuple of k independent [B, H, W, 3] arrays — kept
+        # as separate SSA values (not one stacked array row-scattered in
+        # place) so stream independence is structural, not something the
+        # scatter simplifier has to prove
         def body(_, carry):
-            img, acc = carry
-            out = forward_and_detect(cfg, model, variables, img,
-                                     maskiou_variables=maskiou_vars)
-            # consume every output so XLA cannot dead-code-eliminate the
-            # mask-assembly (or any other) stage
-            s = (jnp.sum(out.scores) + jnp.sum(out.masks) * 1e-3 +
-                 jnp.sum(out.boxes) + jnp.sum(out.classes + out.valid)) * 1e-6
-            # serial dependency: fold the result into one input pixel
-            img = img.at[0, 0, 0, 0].add(s)
-            return img, acc + s
+            imgs_k, acc = carry
+            new_imgs = []
+            for img in imgs_k:
+                out = forward_and_detect(cfg, model, variables, img,
+                                         maskiou_variables=maskiou_vars)
+                # consume every output so XLA cannot dead-code-eliminate
+                # the mask-assembly (or any other) stage
+                s = (jnp.sum(out.scores) + jnp.sum(out.masks) * 1e-3 +
+                     jnp.sum(out.boxes) +
+                     jnp.sum(out.classes + out.valid)) * 1e-6
+                # serial dependency: fold the result into one input pixel
+                new_imgs.append(img.at[0, 0, 0, 0].add(s))
+                acc = acc + s
+            return tuple(new_imgs), acc
         _, acc = jax.lax.fori_loop(0, n, body, (images, 0.0),
                                    unroll=unroll if unroll > 1 else None)
         return acc
 
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.randint(0, 256, (batch, cfg.max_size,
-                                            cfg.max_size, 3))
-                       .astype(np.float32))
+    imgs = tuple(
+        jnp.asarray(rng.randint(0, 256, (batch, cfg.max_size,
+                                         cfg.max_size, 3))
+                    .astype(np.float32))
+        for _ in range(streams))
 
     t0 = time.perf_counter()
     # with a static trip count (unroll>1) the warmup must use the same n
@@ -113,8 +130,9 @@ def main():
             # under a static trip count, reuse the warmed-up n — any other
             # n would recompile inside the trace; perturb the input so the
             # relay cannot coalesce this with the warmup dispatch
-            jax.block_until_ready(chained(imgs + 1e-6,
-                                          iters if unroll > 1 else 3))
+            jax.block_until_ready(chained(
+                tuple(im + 1e-6 for im in imgs),
+                iters if unroll > 1 else 3))
         print(f'# profile written to {profile_dir}', file=sys.stderr)
 
     # fetching the scalar is the completion fence: through the TPU relay,
@@ -125,13 +143,13 @@ def main():
     # dedups identical async dispatches — with BENCH_UNROLL>1 the trip
     # count is static, so an unperturbed timed call would otherwise be
     # the exact same executable + args as the warmup).
-    imgs2 = imgs + 2e-6
-    _ = float(jnp.sum(imgs2))  # settle the perturbation transfer
+    imgs2 = tuple(im + 2e-6 for im in imgs)
+    _ = float(sum(jnp.sum(im) for im in imgs2))  # settle the perturbation
     t0 = time.perf_counter()
     _ = float(chained(imgs2, iters))
     dt = (time.perf_counter() - t0) / iters
 
-    fps = batch / dt
+    fps = batch * streams / dt
     # reference Titan Xp fps per released config (README.md:70-80);
     # unlisted configs fall back to the yolact_base headline number.
     # Keyed on the resolved config's canonical name, not the raw
@@ -142,8 +160,10 @@ def main():
         'yolact_resnet50': 42.5, 'yolact_darknet53': 40.0,
         'yolact_plus_base': 27.3, 'yolact_plus_resnet50': 33.5,
     }.get(cfg.name, 33.5)
+    stream_tag = f'_s{streams}' if streams > 1 else ''
     print(json.dumps({
-        'metric': f'{cfg.name}_{cfg.max_size}_e2e_fps_b{batch}_{dtype}',
+        'metric': f'{cfg.name}_{cfg.max_size}_e2e_fps_b{batch}'
+                  f'{stream_tag}_{dtype}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / ref_fps, 3),

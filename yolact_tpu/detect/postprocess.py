@@ -69,18 +69,25 @@ def postprocess_device(cfg: YolactConfig, dets: Detections,
             valid = valid & (dets.scores > score_threshold)
         return masks, dets._replace(valid=valid)
 
-    if use_pallas is None:
-        import os
+    import os
 
-        import jax.extend.backend
-        use_pallas = (jax.extend.backend.get_backend().platform == 'tpu'
-                      and not os.environ.get('YOLACT_TPU_NO_PALLAS_MASKS'))
+    import jax.extend.backend
+    on_tpu = jax.extend.backend.get_backend().platform == 'tpu'
+    # YOLACT_TPU_FORCE_PALLAS_MASKS runs the real kernel body in Pallas
+    # interpret mode off-TPU — lets the SPMD dryrun/tests execute the
+    # pallas code path (not the XLA fallback) under sharded graphs.
+    force = bool(os.environ.get('YOLACT_TPU_FORCE_PALLAS_MASKS'))
+    if use_pallas is None:
+        use_pallas = (force or
+                      (on_tpu and
+                       not os.environ.get('YOLACT_TPU_NO_PALLAS_MASKS')))
     use_pallas = (use_pallas and crop_masks and cfg.mask_proto_crop
                   and cfg.mask_proto_mask_activation == 'sigmoid')
 
     if use_pallas:
         from yolact_tpu.kernels.mask_assembly import assemble_masks_mapped
-        masks = assemble_masks_mapped(proto, coeffs, dets.boxes)
+        masks = assemble_masks_mapped(proto, coeffs, dets.boxes,
+                                      interpret=force and not on_tpu)
     else:
         def per_image(proto_i, coeffs_i, boxes_i):
             m = jnp.einsum('hwc,dc->hwd', proto_i, coeffs_i,

@@ -60,10 +60,12 @@ def _kernel(proto_ref, coeffs_ref, boxes_ref, out_ref, *, hp, wp, padding):
     out_ref[0] = m * keep.astype(m.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('padding', 'tile_d'))
+@functools.partial(jax.jit,
+                   static_argnames=('padding', 'tile_d', 'interpret'))
 def assemble_masks_batched_pallas(proto: jnp.ndarray, coeffs: jnp.ndarray,
                                   boxes: jnp.ndarray, padding: int = 1,
-                                  tile_d: int = 8) -> jnp.ndarray:
+                                  tile_d: int = 8,
+                                  interpret: bool = False) -> jnp.ndarray:
     """Batched: proto [B, Hp, Wp, Md]; coeffs [B, D, Md]; boxes [B, D, 4]
     -> [B, D, Hp, Wp].
 
@@ -95,26 +97,35 @@ def assemble_masks_batched_pallas(proto: jnp.ndarray, coeffs: jnp.ndarray,
                                lambda bi, di: (bi, di, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, dp, hp * wp), jnp.float32),
+        interpret=interpret,
     )(proto_flat, coeffs.astype(jnp.float32), boxes.astype(jnp.float32))
     return out[:, :d].reshape(b, d, hp, wp)
 
 
 def assemble_masks_pallas(proto: jnp.ndarray, coeffs: jnp.ndarray,
-                          boxes: jnp.ndarray, padding: int = 1) -> jnp.ndarray:
+                          boxes: jnp.ndarray, padding: int = 1,
+                          interpret: bool = False) -> jnp.ndarray:
     """Unbatched convenience wrapper: [Hp,Wp,Md] x [D,Md] -> [D,Hp,Wp]."""
     return assemble_masks_batched_pallas(
-        proto[None], coeffs[None], boxes[None], padding=padding)[0]
+        proto[None], coeffs[None], boxes[None], padding=padding,
+        interpret=interpret)[0]
 
 
-def assemble_masks_mapped(proto, coeffs, boxes, padding: int = 1):
+def assemble_masks_mapped(proto, coeffs, boxes, padding: int = 1,
+                          interpret: bool = False):
     """Batch via lax.map over single-image pallas calls.  At batch > 1
     XLA's layout assignment tries to scope the whole batched custom-call
     output in VMEM and OOMs; mapping keeps each per-image output in HBM
     (the pallas grid is sequential on TPU anyway, so this costs nothing).
+
+    ``interpret`` runs the kernel in Pallas interpret mode (CPU) — used by
+    the SPMD dryrun/tests to execute the real kernel body (not the XLA
+    fallback) under a sharded graph without TPU hardware.
     """
     return jax.lax.map(
         lambda t: assemble_masks_batched_pallas(
-            t[0][None], t[1][None], t[2][None], padding=padding)[0],
+            t[0][None], t[1][None], t[2][None], padding=padding,
+            interpret=interpret)[0],
         (proto, coeffs, boxes))
 
 

@@ -115,11 +115,20 @@ def stem_conv_s2d(x, w2):
 
     Per-platform lowering via ``lax.platform_dependent`` (not a trace-time
     backend check) so a multi-platform AOT export (--platforms=tpu,cpu)
-    gets the Pallas body only in its TPU lowering."""
+    gets the Pallas body only in its TPU lowering.
+
+    ``YOLACT_TPU_PALLAS_STEM_INTERPRET=1`` makes the non-TPU lowering run
+    the actual Pallas kernel body in interpret mode instead of the XLA
+    conv — used by the SPMD dryrun/tests to validate the kernel under
+    sharded graphs without TPU hardware."""
+    import os
+    default = _conv_xla
+    if os.environ.get('YOLACT_TPU_PALLAS_STEM_INTERPRET'):
+        default = lambda a, b: stem_conv_s2d_pallas(a, b, interpret=True)
     return jax.lax.platform_dependent(
         x, w2,
         tpu=lambda a, b: stem_conv_s2d_pallas(a, b),
-        default=_conv_xla)
+        default=default)
 
 
 def _fwd(x, w2):
