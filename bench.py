@@ -26,6 +26,32 @@ import numpy as np
 import yolact_tpu.utils.jax_setup  # noqa: F401  persistent compile cache
 
 
+def _sparsify_conf(variables, cfg):
+    """Bias the random conf heads toward background so candidate counts
+    look like a TRAINED model's (a handful of priors past conf_thresh,
+    not thousands).
+
+    The reference benchmarks trained weights (eval.py --benchmark), whose
+    score maps are background-dominated.  Uniform-random weights instead
+    push >1024 priors past conf_thresh, flipping detect()'s exactness
+    cond (detect/detection.py:184-217) onto the unpruned full-sort
+    fallback — a code path real checkpoints essentially never take — and
+    under-reporting darknet53 by ~2x.  All NMS work is fixed-shape, so
+    this only selects the representative branch; BENCH_DENSE_SCORES=1
+    restores raw random weights (measures the fallback path)."""
+    import jax.tree_util as jtu
+
+    def fix(path, x):
+        keys = [getattr(p, 'key', '') for p in path]
+        if 'conf_layer' in keys and keys[-1] == 'bias':
+            b = x.reshape(-1, cfg.num_classes)
+            b = b.at[:, 0].add(8.0).at[:, 1:].add(-8.0)
+            return b.reshape(x.shape)
+        return x
+
+    return jtu.tree_map_with_path(fix, variables)
+
+
 def main():
     import threading
 
@@ -68,6 +94,8 @@ def main():
         compute_dtype=dtype))
     model = Yolact(cfg)
     variables = random_variables(cfg)
+    if not os.environ.get('BENCH_DENSE_SCORES'):
+        variables = _sparsify_conf(variables, cfg)
     maskiou_vars = None
     if cfg.use_maskiou:
         # yolact_plus rescoring is part of the timed pipeline, like the

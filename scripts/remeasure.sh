@@ -20,6 +20,12 @@ for cfg in yolact_base yolact_resnet50 yolact_darknet53 yolact_im700 \
   done
 done
 
+log "pipelined throughput (2 interleaved streams; steady-state, no per-frame drain)"
+for b in 1 8; do
+  BENCH_STREAMS=2 timeout 1200 python bench.py "$b" 50 bfloat16 \
+    2>>"$out" | tee -a "$out"
+done
+
 log "train it/s (multires default)"
 for dt in float32 bfloat16; do
   timeout 1200 python scripts/bench_train.py 8 20 "$dt" 2>>"$out" \

@@ -81,6 +81,52 @@ def test_stride_2(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_far_oob_offsets_exact(rng):
+    """Offsets far outside the image (|off| >> H) must contribute exactly
+    zero: the slice-gather formulation clips gather starts, which shifts
+    the fetched 2x2 block — every corner a shifted block could misread
+    must be zero-weighted.  Brute-force numpy bilinear reference
+    (dcn_v2_im2col_cuda.cu:25-54 semantics: OOB corners contribute 0)."""
+    B, H, W, Cin, Cout, K = 1, 6, 7, 3, 2, 3
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    w = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
+    # mix of tiny, fractional, near-edge and far-OOB offsets
+    offset = (rng.randn(B, H, W, 2 * K * K) *
+              rng.choice([0.3, 2.0, 50.0],
+                         size=(B, H, W, 2 * K * K))).astype(np.float32)
+    mask = rng.rand(B, H, W, K * K).astype(np.float32)
+
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(w), None, stride=1, padding=1))
+
+    def sample(b, y, xq, c):
+        y0, x0 = int(np.floor(y)), int(np.floor(xq))
+        v = 0.0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yi, xi = y0 + dy, x0 + dx
+                if 0 <= yi < H and 0 <= xi < W:
+                    wy = (1 - abs(y - yi))
+                    wx = (1 - abs(xq - xi))
+                    v += x[b, yi, xi, c] * wy * wx
+        return v
+
+    want = np.zeros((B, H, W, Cout), np.float32)
+    for b in range(B):
+        for ho in range(H):
+            for wo in range(W):
+                for t in range(K * K):
+                    kh, kw = divmod(t, K)
+                    y = ho - 1 + kh + offset[b, ho, wo, 2 * t]
+                    xq = wo - 1 + kw + offset[b, ho, wo, 2 * t + 1]
+                    m = mask[b, ho, wo, t]
+                    for c in range(Cin):
+                        v = sample(b, y, xq, c) * m
+                        want[b, ho, wo] += v * w[kh, kw, c]
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_dcn_differentiable(rng):
     """Gradients flow through offsets/mask/weights (needed to train
     YOLACT++; reference: external/DCNv2 backward kernels)."""

@@ -30,21 +30,15 @@ MAX_DETS = (1, 10, 100)
 
 
 def _box_iou(d: np.ndarray, g: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
-    """xywh boxes; crowd gt use union=area(det) (maskApi bbIou semantics)."""
-    out = np.zeros((len(d), len(g)), np.float64)
-    for j, gb in enumerate(g):
-        gx1, gy1, gw, gh = gb
-        ga = gw * gh
-        for i, db in enumerate(d):
-            dx1, dy1, dw, dh = db
-            iw = min(dx1 + dw, gx1 + gw) - max(dx1, gx1)
-            ih = min(dy1 + dh, gy1 + gh) - max(dy1, gy1)
-            if iw <= 0 or ih <= 0:
-                continue
-            inter = iw * ih
-            union = dw * dh if iscrowd[j] else dw * dh + ga - inter
-            out[i, j] = inter / union
-    return out
+    """xywh boxes; crowd gt use union=area(det) (maskApi bbIou semantics).
+    Broadcast over the full [D, G] pair matrix (no Python pair loop)."""
+    dx1, dy1, dw, dh = (d[:, i][:, None] for i in range(4))   # [D,1]
+    gx1, gy1, gw, gh = (g[:, i][None, :] for i in range(4))   # [1,G]
+    iw = np.minimum(dx1 + dw, gx1 + gw) - np.maximum(dx1, gx1)
+    ih = np.minimum(dy1 + dh, gy1 + gh) - np.maximum(dy1, gy1)
+    inter = np.where((iw > 0) & (ih > 0), iw * ih, 0.0)
+    union = np.where(iscrowd[None, :], dw * dh, dw * dh + gw * gh - inter)
+    return np.where(inter > 0, inter / np.where(union > 0, union, 1.0), 0.0)
 
 
 def _mask_iou(d_rles: List, g_rles: List, iscrowd: np.ndarray) -> np.ndarray:

@@ -4,11 +4,11 @@ TPU-native replacement for the reference CUDA extension
 (``/root/reference/external/DCNv2/src/cuda/dcn_v2_cuda.cu:42-172`` — im2col
 gather + GEMM).  Two implementations with identical numerics:
 
-  * :func:`deform_conv2d` — pure-XLA: 4-tap bilinear gather per kernel tap,
-    modulated by the sigmoid mask, contracted against the weights with one
-    big MXU matmul.  Differentiable (autodiff through gathers), used for
-    both training and as the reference for the Pallas kernel.
-  * a Pallas kernel (kernels/dcn_pallas.py) for the inference hot path.
+  * :func:`deform_conv2d` — pure-XLA: one [2,2,C]-block gather per kernel
+    tap (all four bilinear corners fetched in a single issued slice — see
+    :func:`_bilinear_gather`), modulated by the sigmoid mask, contracted
+    against the weights with one big MXU matmul.  Differentiable (autodiff
+    through the gather), used for training and inference.
 
 Offset/mask channel layout matches the CUDA kernel
 (``dcn_v2_im2col_cuda.cu:125-180``): for tap t (row-major over the K x K
@@ -32,9 +32,23 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     x:  [B, H, W, C]
     ys, xs: [B, N] float sample coordinates (pixel space)
     returns [B, N, C]
+
+    ONE ``lax.gather`` of [2, 2, C] corner blocks from a zero-padded map
+    instead of four per-corner row gathers: TPU gather cost is dominated
+    by per-issued-slice overhead (~6 cycles/row measured on v5e), so
+    fetching all 4 bilinear corners — 2 W-contiguous pixel pairs — per
+    issue is 5x faster at the yolact_plus layer2 shape (4.45 -> 0.88
+    ms/img b8; the old formulation was 40%+ of the whole model step).
+
+    OOB handling: the 1-pixel zero ring supplies corners one step outside
+    the image; anything further out gets its start clipped, which shifts
+    the fetched block — but every corner a shifted block could misread is
+    provably out of bounds and zero-weighted (`valid`), so the math stays
+    exact (test_dcn.py oracle covers far-OOB offsets).
     """
     B, H, W, C = x.shape
-    x_flat = x.reshape(B, H * W, C)
+    N = ys.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -42,18 +56,39 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     wx1 = xs - x0
     wy0 = 1.0 - wy1
     wx0 = 1.0 - wx1
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
 
-    out = 0.
-    for dy, wy in ((0, wy0), (1, wy1)):
-        for dx, wx in ((0, wx0), (1, wx1)):
-            yi = y0.astype(jnp.int32) + dy
-            xi = x0.astype(jnp.int32) + dx
-            valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
-            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-            g = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
-            w = (wy * wx * valid).astype(x.dtype)
-            out = out + g * w[..., None]
-    return out
+    # Flat [B*N] gather with an EXPLICIT batch coordinate in the start
+    # vectors instead of operand_batching_dims: XLA lowers the batched
+    # form by flattening and re-expanding, which materializes a full
+    # relayout copy of the [B*N, 2, 2, C] block tensor (~1.4 ms per DCN
+    # layer at b8, profiled) — the flat form keeps the gather output in
+    # its natural corner-plane layout end to end.
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0).reshape(-1, 1)
+    starts = jnp.concatenate([
+        b_idx,
+        jnp.clip(y0i + 1, 0, H).reshape(-1, 1),
+        jnp.clip(x0i + 1, 0, W).reshape(-1, 1)], axis=-1)    # [B*N, 3]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),               # the [2, 2, C] block dims
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    blocks = jax.lax.gather(
+        xp, starts, dn, slice_sizes=(1, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # [B*N, 2, 2, C]
+
+    def corner_w(dy, dx, wy, wx):
+        valid = ((y0i + dy >= 0) & (y0i + dy < H) &
+                 (x0i + dx >= 0) & (x0i + dx < W))
+        return (wy * wx * valid).astype(x.dtype).reshape(-1, 1)  # [B*N, 1]
+
+    out = (blocks[:, 0, 0] * corner_w(0, 0, wy0, wx0) +
+           blocks[:, 0, 1] * corner_w(0, 1, wy0, wx1) +
+           blocks[:, 1, 0] * corner_w(1, 0, wy1, wx0) +
+           blocks[:, 1, 1] * corner_w(1, 1, wy1, wx1))
+    return out.reshape(B, N, C)
 
 
 def deform_conv2d(x: jnp.ndarray,
