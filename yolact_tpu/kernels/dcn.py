@@ -2,13 +2,29 @@
 
 TPU-native replacement for the reference CUDA extension
 (``/root/reference/external/DCNv2/src/cuda/dcn_v2_cuda.cu:42-172`` — im2col
-gather + GEMM).  Two implementations with identical numerics:
+gather + GEMM).  Formulation (third iteration, trace-driven — see PERF.md
+"DCN anatomy"):
 
-  * :func:`deform_conv2d` — pure-XLA: one [2,2,C]-block gather per kernel
-    tap (all four bilinear corners fetched in a single issued slice — see
-    :func:`_bilinear_gather`), modulated by the sigmoid mask, contracted
-    against the weights with one big MXU matmul.  Differentiable (autodiff
-    through the gather), used for training and inference.
+  1. ONE ``lax.gather`` of a [2,2,C] corner block per sample from the
+     zero-padded feature map — all four bilinear corners in one issued
+     slice (two W-contiguous segments).  Measured alternatives: four
+     per-corner row gathers are ~4x slower (per-issue overhead); a
+     lane-concatenated "xquad" [B,H+1,W+1,4C] map that makes each sample
+     one contiguous 4C run gains nothing at b8 (the gather is
+     volume-bound, not segment-bound — scripts/bench_gather.py), loses
+     ~9% at b1, and blows compile time up on the 101-layer DCN config.
+  2. The bilinear corner reduction is a single multiply-sum fusion
+     straight off the gather output's [B*N, 4, C] view — no per-corner
+     slice consumers (those made XLA materialize four corner planes plus
+     four physical reshapes of the im2col tensor, ~26 ms/step at
+     yolact_plus b8, as much as the gathers themselves).
+  3. One canonical 2D GEMM ``[B*P, K*K*C] @ [K*K*C, Cout]`` (MXU), with
+     the sigmoid mask modulation riding the lane-broadcast multiply that
+     feeds it (the batched ``bpc,co->bpo`` einsum form made XLA pick a
+     {2,0,1} lhs layout and physically relayout the im2col tensor).
+
+Differentiable (autodiff through the gather -> scatter-add), used for both
+training and inference.
 
 Offset/mask channel layout matches the CUDA kernel
 (``dcn_v2_im2col_cuda.cu:125-180``): for tap t (row-major over the K x K
@@ -33,18 +49,11 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     ys, xs: [B, N] float sample coordinates (pixel space)
     returns [B, N, C]
 
-    ONE ``lax.gather`` of [2, 2, C] corner blocks from a zero-padded map
-    instead of four per-corner row gathers: TPU gather cost is dominated
-    by per-issued-slice overhead (~6 cycles/row measured on v5e), so
-    fetching all 4 bilinear corners — 2 W-contiguous pixel pairs — per
-    issue is 5x faster at the yolact_plus layer2 shape (4.45 -> 0.88
-    ms/img b8; the old formulation was 40%+ of the whole model step).
-
     OOB handling: the 1-pixel zero ring supplies corners one step outside
     the image; anything further out gets its start clipped, which shifts
     the fetched block — but every corner a shifted block could misread is
-    provably out of bounds and zero-weighted (`valid`), so the math stays
-    exact (test_dcn.py oracle covers far-OOB offsets).
+    provably out of bounds and zero-weighted (``valid``), so the math
+    stays exact (test_dcn.py oracle covers far-OOB offsets).
     """
     B, H, W, C = x.shape
     N = ys.shape[1]
@@ -62,9 +71,9 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     # Flat [B*N] gather with an EXPLICIT batch coordinate in the start
     # vectors instead of operand_batching_dims: XLA lowers the batched
     # form by flattening and re-expanding, which materializes a full
-    # relayout copy of the [B*N, 2, 2, C] block tensor (~1.4 ms per DCN
-    # layer at b8, profiled) — the flat form keeps the gather output in
-    # its natural corner-plane layout end to end.
+    # relayout copy of the gathered tensor (~1.4 ms per DCN layer at b8,
+    # profiled) — the flat form keeps the gather output in its natural
+    # layout end to end.
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0).reshape(-1, 1)
     starts = jnp.concatenate([
         b_idx,
@@ -82,12 +91,17 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     def corner_w(dy, dx, wy, wx):
         valid = ((y0i + dy >= 0) & (y0i + dy < H) &
                  (x0i + dx >= 0) & (x0i + dx < W))
-        return (wy * wx * valid).astype(x.dtype).reshape(-1, 1)  # [B*N, 1]
+        return (wy * wx * valid).astype(x.dtype).reshape(-1)   # [B*N]
 
-    out = (blocks[:, 0, 0] * corner_w(0, 0, wy0, wx0) +
-           blocks[:, 0, 1] * corner_w(0, 1, wy0, wx1) +
-           blocks[:, 1, 0] * corner_w(1, 0, wy1, wx0) +
-           blocks[:, 1, 1] * corner_w(1, 1, wy1, wx1))
+    # [B*N, 4] corner weights, same order as the block's (2,2) row-major
+    # corner layout
+    mw = jnp.stack([corner_w(0, 0, wy0, wx0), corner_w(0, 1, wy0, wx1),
+                    corner_w(1, 0, wy1, wx0), corner_w(1, 1, wy1, wx1)],
+                   axis=-1)
+    # single fused weighted corner reduction off the gather output: the
+    # [B*N, 4, C] view of the block tensor is a bitcast, and the one
+    # multiply-sum keeps XLA from splitting per-corner pipelines
+    out = jnp.sum(blocks.reshape(-1, 4, C) * mw[:, :, None], axis=1)
     return out.reshape(B, N, C)
 
 
@@ -129,12 +143,21 @@ def deform_conv2d(x: jnp.ndarray,
     xs = (base_x + off[..., 1]).reshape(B, Ho * Wo * K * K)
 
     cols = _bilinear_gather(x, ys, xs)                # [B, Ho*Wo*K*K, Cin]
-    cols = cols.reshape(B, Ho * Wo, K * K, Cin)
-    cols = cols * mask.reshape(B, Ho * Wo, K * K, 1).astype(cols.dtype)
+    # sigmoid-mask modulation stays in lane-land ([B, P, K*K] broadcast
+    # over C) — folding it into the corner weights would need a
+    # lanes->rows transpose of the mask (the pathological relayout the
+    # coordinate tensors already pay once; don't pay it twice)
+    cols = (cols.reshape(B, Ho * Wo, K * K, Cin) *
+            mask.reshape(B, Ho * Wo, K * K, 1).astype(cols.dtype))
 
+    # one canonical 2D GEMM: [B*P, K*K*Cin] @ [K*K*Cin, Cout] (the
+    # batched 'bpc,co->bpo' einsum form made XLA pick a {2,0,1} lhs
+    # layout and physically relayout the im2col tensor to feed it)
     w = weight.reshape(K * K * Cin, -1)
-    out = jnp.einsum('bpc,co->bpo', cols.reshape(B, Ho * Wo, K * K * Cin), w,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jax.lax.dot_general(
+        cols.reshape(B * Ho * Wo, K * K * Cin), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(B, Ho, Wo, -1)
