@@ -1,0 +1,262 @@
+"""Round-3 DCN gather experiments: can anything beat XLA's block gather?
+
+Context (PERF.md "DCN anatomy" + trace /tmp/prof_plus8): the XLA [2,2,C]
+block gather is ISSUE-bound at ~10.7 cycles/sample (90 GB/s effective at
+C=128, rising to 176 GB/s at C=512 — per-sample cost is ~constant), with
+the operand already VMEM-resident.  Formulation changes that keep one
+issue per sample (quad-lane layout, per-corner rows) all land within a
+few % of each other.  Candidates that could actually move the bound:
+
+  * tb:     stack rows y/y+1 in lanes -> xtb [B,H+1,W+2,2C]; ONE
+            [1,2,2C] slice per sample = one fully-contiguous 1KB
+            segment (block does 2 segments).  2x slab memory.
+  * pallas: per-sample fori loop over a VMEM-resident flat slab with
+            pl.ds dynamic loads + fused corner reduce (measures the
+            achievable cycles/sample floor for scalar-issued loads).
+  * taa:    jnp.take_along_axis INSIDE a pallas kernel — probes whether
+            Mosaic lowers to a hardware dynamic-gather (sublane gather)
+            that batches 8 samples per issue.  If this lowers + beats
+            ~3 cyc/sample it is the 10x win; if it throws
+            LoweringException, record the dead end.
+
+All variants produce the REDUCED [B,N,C] bilinear output (not raw
+corner blocks) so the comparison includes epilogue fusion effects.
+
+    python scripts/bench_gather2.py [B=8] [iters=30] [--interpret]
+"""
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+INTERPRET = '--interpret' in sys.argv
+ARGS = [a for a in sys.argv[1:] if not a.startswith('-')]
+B = int(ARGS[0]) if len(ARGS) > 0 else 8
+ITERS = int(ARGS[1]) if len(ARGS) > 1 else 30
+H = W = 69
+C = 128
+K2 = 9
+N = H * W * K2          # samples per image
+TILE = 1023             # samples per pallas grid step (odd: exercises masking)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+    ys = jnp.asarray((rng.rand(B, N) * (H - 1)).astype(np.float32))
+    xs = jnp.asarray((rng.rand(B, N) * (W - 1)).astype(np.float32))
+    out_bytes = B * N * 4 * C * 2
+
+    def corners(ys, xs):
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        return (y0.astype(jnp.int32), x0.astype(jnp.int32),
+                (ys - y0), (xs - x0))
+
+    # ---- reference (numpy) ----------------------------------------------
+    def ref_bilinear():
+        xn = np.asarray(x.astype(jnp.float32))
+        yy = np.asarray(ys)
+        xx = np.asarray(xs)
+        y0 = np.floor(yy).astype(np.int64)
+        x0 = np.floor(xx).astype(np.int64)
+        wy1 = yy - y0
+        wx1 = xx - x0
+        out = np.zeros((B, N, C), np.float32)
+        for dy, dx, w in ((0, 0, (1 - wy1) * (1 - wx1)),
+                          (0, 1, (1 - wy1) * wx1),
+                          (1, 0, wy1 * (1 - wx1)),
+                          (1, 1, wy1 * wx1)):
+            yc = y0 + dy
+            xc = x0 + dx
+            valid = (yc >= 0) & (yc < H) & (xc >= 0) & (xc < W)
+            ycc = np.clip(yc, 0, H - 1)
+            xcc = np.clip(xc, 0, W - 1)
+            for b in range(B):
+                out[b] += (w[b] * valid[b])[:, None] * xn[b, ycc[b], xcc[b]]
+        return out
+
+    # ---- current prod formulation (block) -------------------------------
+    def block(x, ys, xs):
+        from yolact_tpu.kernels.dcn import _bilinear_gather
+        return _bilinear_gather(x, ys, xs)
+
+    # ---- tb: rows y/y+1 stacked in lanes, one [1,2,2C] slice ------------
+    def tb(x, ys, xs):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        xtb = jnp.concatenate([xp[:, :-1], xp[:, 1:]], axis=-1)  # [B,H+1,W+2,2C]
+        y0i, x0i, wy1, wx1 = corners(ys, xs)
+        b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0).reshape(-1, 1)
+        starts = jnp.concatenate([
+            b_idx,
+            jnp.clip(y0i + 1, 0, H).reshape(-1, 1),
+            jnp.clip(x0i + 1, 0, W).reshape(-1, 1)], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1, 2))
+        blk = jax.lax.gather(
+            xtb, starts, dn, slice_sizes=(1, 1, 2, 2 * C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # [B*N, 2, 2C]
+        # corner weights: lanes 0..C-1 = row y0, lanes C..2C-1 = row y0+1
+        def cw(dy, dx, w):
+            valid = ((y0i + dy >= 0) & (y0i + dy < H) &
+                     (x0i + dx >= 0) & (x0i + dx < W))
+            return (w * valid).astype(x.dtype).reshape(-1, 1)
+        w4 = jnp.stack([  # [B*N, 2(x), 2(y-in-lanes)] -> match blk [n, x, yC]
+            jnp.concatenate([cw(0, 0, (1 - wy1) * (1 - wx1)),
+                             cw(1, 0, wy1 * (1 - wx1))], axis=-1),
+            jnp.concatenate([cw(0, 1, (1 - wy1) * wx1),
+                             cw(1, 1, wy1 * wx1)], axis=-1),
+        ], axis=1)                                          # [B*N, 2, 2]
+        prod = blk.reshape(-1, 2, 2, C) * w4[..., None]     # [B*N,2,2,C]
+        return jnp.sum(prod, axis=(1, 2)).reshape(B, N, C)
+
+    # ---- pallas per-sample loop -----------------------------------------
+    Wp = W + 2
+    R = (H + 2) * Wp
+    NT = -(-N // TILE)
+
+    def pallas_kernel(yx_ref, w4_ref, slab_ref, out_ref):
+        # yx_ref: [1, TILE, 2] int32 (SMEM) flat row starts (top, bottom)
+        # w4_ref: [1, TILE, 4] f32 (VMEM) corner weights (00,01,10,11)
+        # slab_ref: [1, R, C] bf16 (VMEM) padded flat feature map (one image)
+        # out_ref: [1, TILE, C] bf16
+        def body(i, _):
+            r0 = yx_ref[0, i, 0]
+            r1 = yx_ref[0, i, 1]
+            top = slab_ref[0, pl.ds(r0, 2), :].astype(jnp.float32)  # [2, C]
+            bot = slab_ref[0, pl.ds(r1, 2), :].astype(jnp.float32)  # [2, C]
+            w = w4_ref[0, i, :]
+            acc = (top[0:1] * w[0] + top[1:2] * w[1] +
+                   bot[0:1] * w[2] + bot[1:2] * w[3])               # [1, C]
+            out_ref[0, pl.ds(i, 1), :] = acc.astype(out_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, TILE, body, 0)
+
+    def pallas_loop(x, ys, xs):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        slab = xp.reshape(B, R, C)
+        y0i, x0i, wy1, wx1 = corners(ys, xs)
+        yc = jnp.clip(y0i + 1, 0, H)
+        xc = jnp.clip(x0i + 1, 0, W)
+        r0 = yc * Wp + xc
+        r1 = r0 + Wp
+        npad = NT * TILE - N
+        yx = jnp.stack([r0, r1], axis=-1)                    # [B, N, 2]
+        yx = jnp.pad(yx, ((0, 0), (0, npad), (0, 0)))
+        def cw(dy, dx, w):
+            valid = ((y0i + dy >= 0) & (y0i + dy < H) &
+                     (x0i + dx >= 0) & (x0i + dx < W))
+            return (w * valid).astype(jnp.float32)
+        w4 = jnp.stack([cw(0, 0, (1 - wy1) * (1 - wx1)),
+                        cw(0, 1, (1 - wy1) * wx1),
+                        cw(1, 0, wy1 * (1 - wx1)),
+                        cw(1, 1, wy1 * wx1)], axis=-1)       # [B, N, 4]
+        w4 = jnp.pad(w4, ((0, 0), (0, npad), (0, 0)))
+        out = pl.pallas_call(
+            pallas_kernel,
+            grid=(B, NT),
+            in_specs=[
+                pl.BlockSpec((1, TILE, 2), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, TILE, 4), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, R, C), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, NT * TILE, C), x.dtype),
+            interpret=INTERPRET,
+        )(yx, w4, slab)
+        return out[:, :N]
+
+    # ---- taa: take_along_axis inside a pallas kernel --------------------
+    def taa_kernel(idx_ref, slab_ref, out_ref):
+        # idx_ref: [1, TILE, C] int32 row index broadcast over lanes
+        # slab_ref: [1, R, C]; out_ref: [1, TILE, C]
+        out_ref[0] = jnp.take_along_axis(
+            slab_ref[0], idx_ref[0], axis=0)
+
+    def pallas_taa(x, ys, xs):
+        # top-left corner row only (probe op support/speed, not full bilinear)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        slab = xp.reshape(B, R, C)
+        y0i, x0i, _, _ = corners(ys, xs)
+        r0 = (jnp.clip(y0i + 1, 0, H) * Wp + jnp.clip(x0i + 1, 0, W))
+        npad = NT * TILE - N
+        idx = jnp.pad(r0, ((0, 0), (0, npad)))
+        idx = jnp.broadcast_to(idx[..., None], (B, NT * TILE, C))
+        out = pl.pallas_call(
+            taa_kernel,
+            grid=(B, NT),
+            in_specs=[
+                pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, R, C), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, NT * TILE, C), x.dtype),
+            interpret=INTERPRET,
+        )(idx, slab)
+        return out[:, :N]
+
+    # ---- harness ---------------------------------------------------------
+    ref = ref_bilinear()
+
+    def check(name, fn, against='bilinear'):
+        try:
+            r = np.asarray(jax.jit(fn)(x, ys, xs).astype(jnp.float32))
+        except Exception as e:  # noqa: BLE001 — record lowering dead ends
+            print(f'{name:8s} FAILED: {type(e).__name__}: {str(e)[:300]}')
+            return False
+        if against == 'bilinear':
+            err = np.abs(r - ref).max()
+        else:  # top-left corner row fetch
+            xn = np.asarray(x.astype(jnp.float32))
+            xpn = np.pad(xn, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y0 = np.clip(np.floor(np.asarray(ys)).astype(np.int64) + 1, 0, H)
+            x0 = np.clip(np.floor(np.asarray(xs)).astype(np.int64) + 1, 0, W)
+            exp = np.stack([xpn[b, y0[b], x0[b]] for b in range(B)])
+            err = np.abs(r - exp).max()
+        ok = err < 0.03
+        print(f'{name:8s} check {"OK" if ok else "MISMATCH"} (max err {err:.4f})')
+        return ok
+
+    def timeit(name, fn):
+        f = jax.jit(fn)
+        try:
+            r = f(x, ys, xs)
+            jax.block_until_ready(r)
+        except Exception as e:  # noqa: BLE001
+            print(f'{name:8s} compile FAILED: {type(e).__name__}: {str(e)[:200]}')
+            return
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(ITERS):
+            r = f(x, ys + acc, xs)
+            acc = float(jnp.sum(r[:1, :1].astype(jnp.float32))) * 1e-12
+        dt = (time.perf_counter() - t0) / ITERS
+        cyc = dt * 0.94e9 / (B * N)   # v5e ~940 MHz
+        print(f'{name:8s} {dt*1e3:8.3f} ms/batch  {out_bytes/dt/1e9:7.1f} GB/s'
+              f'  {cyc:6.1f} cyc/sample')
+
+    print(f'B={B} N={N} C={C} interpret={INTERPRET}')
+    check('block', block)
+    check('tb', tb)
+    check('pallas', pallas_loop)
+    check('taa', pallas_taa, against='corner')
+    if not INTERPRET:
+        timeit('block', block)
+        timeit('tb', tb)
+        timeit('pallas', pallas_loop)
+        timeit('taa', pallas_taa)
+
+
+if __name__ == '__main__':
+    main()
