@@ -34,14 +34,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 INTERPRET = '--interpret' in sys.argv
+SMALL = '--small' in sys.argv
 ARGS = [a for a in sys.argv[1:] if not a.startswith('-')]
 B = int(ARGS[0]) if len(ARGS) > 0 else 8
 ITERS = int(ARGS[1]) if len(ARGS) > 1 else 30
-H = W = 69
+H = W = 13 if SMALL else 69
 C = 128
 K2 = 9
 N = H * W * K2          # samples per image
-TILE = 1023             # samples per pallas grid step (odd: exercises masking)
+TILE = 127 if SMALL else 1023  # pallas tile (odd: exercises masking)
 
 
 def main():
@@ -206,6 +207,62 @@ def main():
         )(idx, slab)
         return out[:, :N]
 
+    # ---- taa4: full bilinear via 4 in-kernel take_along_axis gathers ----
+    def taa4_kernel(idx_ref, w4_ref, slab_ref, out_ref):
+        # idx_ref: [1, TILE, C] int32 top-left flat row, broadcast over lanes
+        # w4_ref: [1, TILE, 4*C] f32 corner weights tiled over lanes
+        # slab_ref: [1, R, C]; out_ref: [1, TILE, C]
+        slab = slab_ref[0]
+        idx = idx_ref[0]
+        w = w4_ref[0].astype(jnp.float32)
+        # misread corners are zero-weighted; clamp keeps the reads in
+        # bounds at the far edge of the padded slab
+        acc = jnp.take_along_axis(slab, idx, axis=0).astype(jnp.float32) \
+            * w[:, 0 * C:1 * C]
+        acc += jnp.take_along_axis(slab, jnp.minimum(idx + 1, R - 1),
+                                   axis=0).astype(jnp.float32) \
+            * w[:, 1 * C:2 * C]
+        acc += jnp.take_along_axis(slab, jnp.minimum(idx + Wp, R - 1),
+                                   axis=0).astype(jnp.float32) \
+            * w[:, 2 * C:3 * C]
+        acc += jnp.take_along_axis(slab, jnp.minimum(idx + Wp + 1, R - 1),
+                                   axis=0).astype(jnp.float32) \
+            * w[:, 3 * C:4 * C]
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    def pallas_taa4(x, ys, xs):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        slab = xp.reshape(B, R, C)
+        y0i, x0i, wy1, wx1 = corners(ys, xs)
+        r0 = (jnp.clip(y0i + 1, 0, H) * Wp + jnp.clip(x0i + 1, 0, W))
+        npad = NT * TILE - N
+
+        def cw(dy, dx, w):
+            valid = ((y0i + dy >= 0) & (y0i + dy < H) &
+                     (x0i + dx >= 0) & (x0i + dx < W))
+            return (w * valid).astype(jnp.float32)
+        w4 = jnp.stack([cw(0, 0, (1 - wy1) * (1 - wx1)),
+                        cw(0, 1, (1 - wy1) * wx1),
+                        cw(1, 0, wy1 * (1 - wx1)),
+                        cw(1, 1, wy1 * wx1)], axis=-1)       # [B, N, 4]
+        w4 = jnp.pad(w4, ((0, 0), (0, npad), (0, 0)))
+        w4 = jnp.repeat(w4, C, axis=-1)                      # [B, NT*TILE, 4C]
+        idx = jnp.pad(r0, ((0, 0), (0, npad)))
+        idx = jnp.broadcast_to(idx[..., None], (B, NT * TILE, C))
+        out = pl.pallas_call(
+            taa4_kernel,
+            grid=(B, NT),
+            in_specs=[
+                pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, TILE, 4 * C), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, R, C), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, NT * TILE, C), x.dtype),
+            interpret=INTERPRET,
+        )(idx, w4, slab)
+        return out[:, :N]
+
     # ---- harness ---------------------------------------------------------
     ref = ref_bilinear()
 
@@ -229,33 +286,44 @@ def main():
         return ok
 
     def timeit(name, fn):
-        f = jax.jit(fn)
+        # bench.py methodology: chain iterations ON DEVICE through a data
+        # dependency (per-host-iteration scalar fetches pay the relay RTT
+        # each time — that is what flattened scripts/bench_gather.py's
+        # numbers to ~RTT for every formulation), fetch one scalar at the
+        # end as the completion fence.
+        def chained(x, ys, xs, n):
+            def body(_, carry):
+                ys_c, acc = carry
+                r = fn(x, ys_c, xs)
+                s = jnp.sum(r[:1, :1].astype(jnp.float32)) * 1e-12
+                return ys_c + s, acc + s
+            _, acc = jax.lax.fori_loop(0, n, body, (ys, 0.0))
+            return acc
+        f = jax.jit(chained, static_argnums=3)
         try:
-            r = f(x, ys, xs)
-            jax.block_until_ready(r)
+            float(f(x, ys, xs, 2))   # compile + warm
         except Exception as e:  # noqa: BLE001
             print(f'{name:8s} compile FAILED: {type(e).__name__}: {str(e)[:200]}')
             return
         t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(ITERS):
-            r = f(x, ys + acc, xs)
-            acc = float(jnp.sum(r[:1, :1].astype(jnp.float32))) * 1e-12
+        float(f(x, ys + 1e-6, xs, ITERS))
         dt = (time.perf_counter() - t0) / ITERS
-        cyc = dt * 0.94e9 / (B * N)   # v5e ~940 MHz
+        ns = dt * 1e9 / (B * N)
         print(f'{name:8s} {dt*1e3:8.3f} ms/batch  {out_bytes/dt/1e9:7.1f} GB/s'
-              f'  {cyc:6.1f} cyc/sample')
+              f'  {ns:6.2f} ns/sample')
 
     print(f'B={B} N={N} C={C} interpret={INTERPRET}')
     check('block', block)
     check('tb', tb)
     check('pallas', pallas_loop)
     check('taa', pallas_taa, against='corner')
+    check('taa4', pallas_taa4)
     if not INTERPRET:
         timeit('block', block)
         timeit('tb', tb)
         timeit('pallas', pallas_loop)
         timeit('taa', pallas_taa)
+        timeit('taa4', pallas_taa4)
 
 
 if __name__ == '__main__':
