@@ -184,3 +184,81 @@ def test_dcn_offset_conv_zero_initialized(rng):
     assert float(jnp.abs(om['bias']).max()) == 0.0
     # the deformable weight itself must NOT be zero (kaiming)
     assert float(jnp.abs(v['params']['weight']).max()) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas forward (kernels/dcn_pallas.py) — interpret-mode parity with
+# the XLA formulation above.  On a real TPU the same tests run compiled via
+# YOLACT_TPU_PALLAS_DCN=1 (see bench.py A/B notes in PERF.md).
+# ---------------------------------------------------------------------------
+
+def _rand_dcn_inputs(rng, B, H, W, Cin, Cout, K, stride=1, padding=1,
+                     dilation=1):
+    Ho = (H + 2 * padding - dilation * (K - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (K - 1) - 1) // stride + 1
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    # mix of fractional, near-edge and far-OOB offsets
+    off = rng.randn(B, Ho, Wo, 2 * K * K) * rng.choice(
+        [0.3, 2.0, 50.0], size=(B, Ho, Wo, 2 * K * K))
+    offset = jnp.asarray(off, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, Ho, Wo, K * K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.randn(Cout), jnp.float32)
+    return x, offset, mask, w, b
+
+
+@pytest.mark.parametrize('variant', ['taa', 'loop'])
+@pytest.mark.parametrize('stride,dilation', [(1, 1), (2, 1), (1, 2)])
+def test_pallas_dcn_matches_xla(rng, monkeypatch, variant, stride, dilation):
+    from yolact_tpu.kernels.dcn_pallas import deform_conv2d_pallas
+    if variant == 'loop':
+        monkeypatch.setenv('YOLACT_TPU_PALLAS_DCN_LOOP', '1')
+    else:
+        monkeypatch.delenv('YOLACT_TPU_PALLAS_DCN_LOOP', raising=False)
+    x, offset, mask, w, b = _rand_dcn_inputs(
+        rng, 2, 11, 13, 8, 6, 3, stride=stride, dilation=dilation)
+    want = deform_conv2d(x, offset, mask, w, b, stride=stride,
+                         padding=1, dilation=dilation)
+    got = deform_conv2d_pallas(x, offset, mask, w, b, stride=stride,
+                               padding=1, dilation=dilation, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_dcn_bf16(rng):
+    """bf16 activations/weights: the kernel accumulates in f32 like the
+    XLA path's preferred_element_type, so agreement is bf16-level."""
+    from yolact_tpu.kernels.dcn_pallas import deform_conv2d_pallas
+    x, offset, mask, w, b = _rand_dcn_inputs(rng, 1, 10, 10, 16, 8, 3)
+    xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    want = deform_conv2d(xb, offset, mask, wb, b)
+    got = deform_conv2d_pallas(xb, offset, mask, wb, b, interpret=True)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.15, rtol=0.05)
+
+
+def test_dcn_layer_pallas_gate(rng, monkeypatch):
+    """YOLACT_TPU_PALLAS_DCN=1 swaps DCNLayer's inference forward for the
+    fused kernel; train=True keeps the differentiable XLA path."""
+    from yolact_tpu.models.resnet import DCNLayer
+    layer = DCNLayer(features=8)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(1), x)
+    # give the offset conv nonzero weights so the gather actually deforms
+    v = jax.tree.map(
+        lambda p: p + 0.05 if p.size and p.ndim >= 1 else p, v)
+    want = layer.apply(v, x)
+    monkeypatch.setenv('YOLACT_TPU_PALLAS_DCN', '1')
+    monkeypatch.setenv('YOLACT_TPU_PALLAS_DCN_INTERPRET', '1')
+    got = layer.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=1e-3)
+    # train=True must ignore the gate (fused kernel has no VJP)
+    def loss(vv):
+        return jnp.sum(layer.apply(vv, x, train=True) ** 2)
+    g = jax.grad(loss)(v)
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree_util.tree_leaves(g))

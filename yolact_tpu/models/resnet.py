@@ -12,6 +12,7 @@ block i>0 uses DCN iff (i + dcn_layers) >= blocks and i % dcn_interval == 0.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -27,7 +28,12 @@ EXPANSION = 4
 class DCNLayer(nn.Module):
     """DCNv2 layer: a zero-init conv predicts per-tap offsets + modulation
     mask, then the deformable conv consumes them (reference
-    ``external/DCNv2/dcn_v2.py:97-128``)."""
+    ``external/DCNv2/dcn_v2.py:97-128``).
+
+    ``YOLACT_TPU_PALLAS_DCN=1`` swaps the inference forward (train=False
+    only — the fused kernel has no VJP) for the VMEM-resident Pallas
+    pipeline in ``kernels/dcn_pallas.py``; ``..._INTERPRET=1`` additionally
+    runs it in interpret mode for off-TPU validation."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -36,7 +42,7 @@ class DCNLayer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         k = self.kernel_size
         # weight AND bias start at zero (dcn_v2.py:114-116 init_offset) so
         # the DCN begins as a plain conv (offsets 0, mask sigmoid(0)=0.5);
@@ -53,6 +59,15 @@ class DCNLayer(nn.Module):
             'weight', nn.initializers.kaiming_normal(),
             (k, k, x.shape[-1], self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if not train and os.environ.get('YOLACT_TPU_PALLAS_DCN') == '1':
+            from yolact_tpu.kernels.dcn_pallas import deform_conv2d_pallas
+            return deform_conv2d_pallas(
+                x.astype(self.dtype or x.dtype), offset.astype(jnp.float32),
+                mask, weight.astype(self.dtype or weight.dtype), bias,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation,
+                interpret=os.environ.get(
+                    'YOLACT_TPU_PALLAS_DCN_INTERPRET') == '1')
         return deform_conv2d(
             x.astype(self.dtype or x.dtype), offset.astype(jnp.float32),
             mask, weight.astype(self.dtype or weight.dtype), bias,
@@ -85,7 +100,8 @@ class Bottleneck(nn.Module):
 
         if self.use_dcn:
             out = DCNLayer(self.planes, 3, self.stride, self.dilation,
-                           self.dilation, dtype=self.dtype, name='conv2')(out)
+                           self.dilation, dtype=self.dtype,
+                           name='conv2')(out, train)
         else:
             out = Conv(self.planes, 3, self.stride, self.dilation,
                        dilation=self.dilation, use_bias=False,
