@@ -55,9 +55,13 @@ def _kernel_taa(idx_ref, w4_ref, slab_ref, wgt_ref, out_ref, *, K2, R, Wp,
     out_ref: [1, TILE_P, Cout]
     """
     slab = slab_ref[0]
+    C = slab.shape[1]
     acc = None
     for t in range(K2):
-        idx = idx_ref[0, t]                                   # [TILE_P, 1]
+        # Mosaic's dynamic-gather lowering needs indices shaped like the
+        # gather output (interpret mode broadcasts [TILE_P,1] silently;
+        # compiled lowering rejects it with a shape mismatch)
+        idx = jnp.broadcast_to(idx_ref[0, t], (idx_ref.shape[2], C))
         w = w4_ref[0, t]                                      # [TILE_P, 4]
         g00 = jnp.take_along_axis(slab, idx, axis=0)
         g01 = jnp.take_along_axis(slab, jnp.minimum(idx + 1, R - 1), axis=0)
