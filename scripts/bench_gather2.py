@@ -42,7 +42,10 @@ H = W = 13 if SMALL else 69
 C = 128
 K2 = 9
 N = H * W * K2          # samples per image
-TILE = 127 if SMALL else 1023  # pallas tile (odd: exercises masking)
+# pallas tile: compiled Mosaic requires the block sublane dim divisible
+# by 8 (TILE=1023 compile-FAILED on chip 2026-08-19; odd tiles are
+# interpret-only)
+TILE = 128 if SMALL else 1024
 
 
 def main():
@@ -53,8 +56,48 @@ def main():
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
-    ys = jnp.asarray((rng.rand(B, N) * (H - 1)).astype(np.float32))
-    xs = jnp.asarray((rng.rand(B, N) * (W - 1)).astype(np.float32))
+
+    # DCN-like sample coordinates: sample (p, t) starts at the conv tap
+    # grid and is perturbed per offset mode.  The XLA gather turned out to
+    # be ~100x locality-sensitive (sequential ~11 ns/sample in the model
+    # trace vs ~1.1 us/sample for uniform-random coords), so the offset
+    # DISTRIBUTION is the whole benchmark: zero-init bench weights measure
+    # the best case, trained offsets are small (|off| ~ 1-2 px) and
+    # spatially smooth (they come from a 3x3 conv of the features).
+    kh = np.arange(3) - 1
+    base_y = (np.arange(H)[:, None, None, None] + kh[None, None, :, None])
+    base_x = (np.arange(W)[None, :, None, None] + kh[None, None, None, :])
+    base_y = np.broadcast_to(base_y, (H, W, 3, 3)).reshape(1, N)
+    base_x = np.broadcast_to(base_x, (H, W, 3, 3)).reshape(1, N)
+
+    def coords(mode, sigma=1.5):
+        if mode == 'random':     # uniform over the image — worst case
+            oy = rng.rand(B, N) * (H - 1) - base_y
+            ox = rng.rand(B, N) * (W - 1) - base_x
+        elif mode == 'zero':     # zero-init offsets = bench weights today
+            oy = np.full((B, N), 0.0)
+            ox = np.full((B, N), 0.0)
+        elif mode == 'iid':      # iid N(0, sigma) per sample — pessimistic
+            oy = rng.randn(B, N) * sigma
+            ox = rng.randn(B, N) * sigma
+        elif mode == 'smooth':   # spatially smooth field (box-blurred iid,
+            # renormalized to sigma) — what a conv-produced offset map
+            # actually looks like
+            def field():
+                f = rng.randn(B, H, W, 9)
+                for ax in (1, 2):
+                    f = (np.roll(f, 1, ax) + f + np.roll(f, -1, ax)) / 3.0
+                f *= sigma / (f.std() + 1e-9)
+                return f.reshape(B, N)
+            oy = field()
+            ox = field()
+        else:
+            raise ValueError(mode)
+        ys = np.clip(base_y + oy, -1.0, H).astype(np.float32)
+        xs = np.clip(base_x + ox, -1.0, W).astype(np.float32)
+        return jnp.asarray(ys), jnp.asarray(xs)
+
+    ys, xs = coords('random')
     out_bytes = B * N * 4 * C * 2
 
     def corners(ys, xs):
@@ -285,7 +328,7 @@ def main():
         print(f'{name:8s} check {"OK" if ok else "MISMATCH"} (max err {err:.4f})')
         return ok
 
-    def timeit(name, fn):
+    def timeit(name, fn, ys=ys, xs=xs):
         # bench.py methodology: chain iterations ON DEVICE through a data
         # dependency (per-host-iteration scalar fetches pay the relay RTT
         # each time — that is what flattened scripts/bench_gather.py's
@@ -319,11 +362,17 @@ def main():
     check('taa', pallas_taa, against='corner')
     check('taa4', pallas_taa4)
     if not INTERPRET:
-        timeit('block', block)
-        timeit('tb', tb)
-        timeit('pallas', pallas_loop)
-        timeit('taa', pallas_taa)
-        timeit('taa4', pallas_taa4)
+        # offset-distribution sweep: the XLA gather is locality-sensitive,
+        # the Pallas in-kernel gather may not be — measure both across the
+        # zero (bench today) / smooth+iid (trained-like) / random (worst)
+        # regimes
+        for mode in ('zero', 'smooth', 'iid', 'random'):
+            ys_m, xs_m = coords(mode)
+            timeit(f'block/{mode}', block, ys_m, xs_m)
+            timeit(f'taa4/{mode}', pallas_taa4, ys_m, xs_m)
+        timeit('pallas/random', pallas_loop)
+        timeit('taa/random', pallas_taa)
+        timeit('tb/random', tb)
 
 
 if __name__ == '__main__':
