@@ -81,24 +81,34 @@ def test_stride_2(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
-def test_far_oob_offsets_exact(rng):
+@pytest.mark.parametrize('stride,padding,dilation',
+                         [(1, 1, 1),   # plain DCN block
+                          (2, 1, 1),   # stride-2 downsample block
+                          (1, 2, 2)])  # atrous block (Bottleneck passes
+                                       # padding == dilation, resnet.py)
+def test_far_oob_offsets_exact(rng, stride, padding, dilation):
     """Offsets far outside the image (|off| >> H) must contribute exactly
     zero: the slice-gather formulation clips gather starts, which shifts
     the fetched 2x2 block — every corner a shifted block could misread
     must be zero-weighted.  Brute-force numpy bilinear reference
-    (dcn_v2_im2col_cuda.cu:25-54 semantics: OOB corners contribute 0)."""
+    (dcn_v2_im2col_cuda.cu:25-54 semantics: OOB corners contribute 0),
+    covering every (stride, padding, dilation) combination the backbone
+    instantiates."""
     B, H, W, Cin, Cout, K = 1, 6, 7, 3, 2, 3
+    Ho = (H + 2 * padding - dilation * (K - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (K - 1) - 1) // stride + 1
     x = rng.randn(B, H, W, Cin).astype(np.float32)
     w = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
     # mix of tiny, fractional, near-edge and far-OOB offsets
-    offset = (rng.randn(B, H, W, 2 * K * K) *
+    offset = (rng.randn(B, Ho, Wo, 2 * K * K) *
               rng.choice([0.3, 2.0, 50.0],
-                         size=(B, H, W, 2 * K * K))).astype(np.float32)
-    mask = rng.rand(B, H, W, K * K).astype(np.float32)
+                         size=(B, Ho, Wo, 2 * K * K))).astype(np.float32)
+    mask = rng.rand(B, Ho, Wo, K * K).astype(np.float32)
 
     got = np.asarray(deform_conv2d(
         jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
-        jnp.asarray(w), None, stride=1, padding=1))
+        jnp.asarray(w), None, stride=stride, padding=padding,
+        dilation=dilation))
 
     def sample(b, y, xq, c):
         y0, x0 = int(np.floor(y)), int(np.floor(xq))
@@ -112,14 +122,16 @@ def test_far_oob_offsets_exact(rng):
                     v += x[b, yi, xi, c] * wy * wx
         return v
 
-    want = np.zeros((B, H, W, Cout), np.float32)
+    want = np.zeros((B, Ho, Wo, Cout), np.float32)
     for b in range(B):
-        for ho in range(H):
-            for wo in range(W):
+        for ho in range(Ho):
+            for wo in range(Wo):
                 for t in range(K * K):
                     kh, kw = divmod(t, K)
-                    y = ho - 1 + kh + offset[b, ho, wo, 2 * t]
-                    xq = wo - 1 + kw + offset[b, ho, wo, 2 * t + 1]
+                    y = (ho * stride - padding + kh * dilation
+                         + offset[b, ho, wo, 2 * t])
+                    xq = (wo * stride - padding + kw * dilation
+                          + offset[b, ho, wo, 2 * t + 1])
                     m = mask[b, ho, wo, t]
                     for c in range(Cin):
                         v = sample(b, y, xq, c) * m
@@ -185,80 +197,3 @@ def test_dcn_offset_conv_zero_initialized(rng):
     # the deformable weight itself must NOT be zero (kaiming)
     assert float(jnp.abs(v['params']['weight']).max()) > 0.0
 
-
-# ---------------------------------------------------------------------------
-# Fused Pallas forward (kernels/dcn_pallas.py) — interpret-mode parity with
-# the XLA formulation above.  On a real TPU the same tests run compiled via
-# YOLACT_TPU_PALLAS_DCN=1 (see bench.py A/B notes in PERF.md).
-# ---------------------------------------------------------------------------
-
-def _rand_dcn_inputs(rng, B, H, W, Cin, Cout, K, stride=1, padding=1,
-                     dilation=1):
-    Ho = (H + 2 * padding - dilation * (K - 1) - 1) // stride + 1
-    Wo = (W + 2 * padding - dilation * (K - 1) - 1) // stride + 1
-    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
-    # mix of fractional, near-edge and far-OOB offsets
-    off = rng.randn(B, Ho, Wo, 2 * K * K) * rng.choice(
-        [0.3, 2.0, 50.0], size=(B, Ho, Wo, 2 * K * K))
-    offset = jnp.asarray(off, jnp.float32)
-    mask = jnp.asarray(rng.rand(B, Ho, Wo, K * K), jnp.float32)
-    w = jnp.asarray(rng.randn(K, K, Cin, Cout) * 0.2, jnp.float32)
-    b = jnp.asarray(rng.randn(Cout), jnp.float32)
-    return x, offset, mask, w, b
-
-
-@pytest.mark.parametrize('variant', ['taa', 'loop'])
-@pytest.mark.parametrize('stride,dilation', [(1, 1), (2, 1), (1, 2)])
-def test_pallas_dcn_matches_xla(rng, monkeypatch, variant, stride, dilation):
-    from yolact_tpu.kernels.dcn_pallas import deform_conv2d_pallas
-    if variant == 'loop':
-        monkeypatch.setenv('YOLACT_TPU_PALLAS_DCN_LOOP', '1')
-    else:
-        monkeypatch.delenv('YOLACT_TPU_PALLAS_DCN_LOOP', raising=False)
-    x, offset, mask, w, b = _rand_dcn_inputs(
-        rng, 2, 11, 13, 8, 6, 3, stride=stride, dilation=dilation)
-    want = deform_conv2d(x, offset, mask, w, b, stride=stride,
-                         padding=1, dilation=dilation)
-    got = deform_conv2d_pallas(x, offset, mask, w, b, stride=stride,
-                               padding=1, dilation=dilation, interpret=True)
-    assert got.shape == want.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-3, rtol=1e-3)
-
-
-def test_pallas_dcn_bf16(rng):
-    """bf16 activations/weights: the kernel accumulates in f32 like the
-    XLA path's preferred_element_type, so agreement is bf16-level."""
-    from yolact_tpu.kernels.dcn_pallas import deform_conv2d_pallas
-    x, offset, mask, w, b = _rand_dcn_inputs(rng, 1, 10, 10, 16, 8, 3)
-    xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
-    want = deform_conv2d(xb, offset, mask, wb, b)
-    got = deform_conv2d_pallas(xb, offset, mask, wb, b, interpret=True)
-    assert got.dtype == want.dtype
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32),
-        atol=0.15, rtol=0.05)
-
-
-def test_dcn_layer_pallas_gate(rng, monkeypatch):
-    """YOLACT_TPU_PALLAS_DCN=1 swaps DCNLayer's inference forward for the
-    fused kernel; train=True keeps the differentiable XLA path."""
-    from yolact_tpu.models.resnet import DCNLayer
-    layer = DCNLayer(features=8)
-    x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
-    v = layer.init(jax.random.PRNGKey(1), x)
-    # give the offset conv nonzero weights so the gather actually deforms
-    v = jax.tree.map(
-        lambda p: p + 0.05 if p.size and p.ndim >= 1 else p, v)
-    want = layer.apply(v, x)
-    monkeypatch.setenv('YOLACT_TPU_PALLAS_DCN', '1')
-    monkeypatch.setenv('YOLACT_TPU_PALLAS_DCN_INTERPRET', '1')
-    got = layer.apply(v, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-3, rtol=1e-3)
-    # train=True must ignore the gate (fused kernel has no VJP)
-    def loss(vv):
-        return jnp.sum(layer.apply(vv, x, train=True) ** 2)
-    g = jax.grad(loss)(v)
-    assert all(np.isfinite(np.asarray(leaf)).all()
-               for leaf in jax.tree_util.tree_leaves(g))

@@ -12,7 +12,6 @@ block i>0 uses DCN iff (i + dcn_layers) >= blocks and i % dcn_interval == 0.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -30,10 +29,14 @@ class DCNLayer(nn.Module):
     mask, then the deformable conv consumes them (reference
     ``external/DCNv2/dcn_v2.py:97-128``).
 
-    ``YOLACT_TPU_PALLAS_DCN=1`` swaps the inference forward (train=False
-    only — the fused kernel has no VJP) for the VMEM-resident Pallas
-    pipeline in ``kernels/dcn_pallas.py``; ``..._INTERPRET=1`` additionally
-    runs it in interpret mode for off-TPU validation."""
+    The deformable gather runs through the XLA formulation in
+    ``kernels/dcn.py`` — on this TPU stack that IS the fast path.  A fused
+    VMEM-resident Pallas kernel was built and buried in round 4: Mosaic's
+    only scattered-read primitive (``tpu.dynamic_gather``) is a vreg-local
+    shuffle (gather-dim extent <= one vreg), so gathering bilinear corners
+    from a whole feature slab cannot lower, full stop.  Evidence:
+    ``scripts/probe_sameshape_gather.py`` + ``results/dcn_pallas_r4.txt``;
+    write-up in PERF.md "DCN anatomy"."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -59,15 +62,6 @@ class DCNLayer(nn.Module):
             'weight', nn.initializers.kaiming_normal(),
             (k, k, x.shape[-1], self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
-        if not train and os.environ.get('YOLACT_TPU_PALLAS_DCN') == '1':
-            from yolact_tpu.kernels.dcn_pallas import deform_conv2d_pallas
-            return deform_conv2d_pallas(
-                x.astype(self.dtype or x.dtype), offset.astype(jnp.float32),
-                mask, weight.astype(self.dtype or weight.dtype), bias,
-                stride=self.stride, padding=self.padding,
-                dilation=self.dilation,
-                interpret=os.environ.get(
-                    'YOLACT_TPU_PALLAS_DCN_INTERPRET') == '1')
         return deform_conv2d(
             x.astype(self.dtype or x.dtype), offset.astype(jnp.float32),
             mask, weight.astype(self.dtype or weight.dtype), bias,
