@@ -29,8 +29,9 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
-from _refutil import import_reference
-from _tiny import tiny_resnet_config
+from _refutil import (import_reference, install_ref_cython_nms_shim,
+                      install_ref_dcn_shim)
+from _tiny import tiny_plus_config, tiny_resnet_config
 
 torch = pytest.importorskip('torch')
 
@@ -105,30 +106,49 @@ class _ShimCOCO:
                                      im['width']).astype(np.uint8)
 
 
-def _tiny_ref_cfg(ref_config, img_dir, json_path):
-    return ref_config.yolact_base_config.copy({
+def _tiny_ref_cfg(ref_config, img_dir, json_path, variant='base'):
+    base = (ref_config.yolact_plus_resnet50_config if variant == 'plus'
+            else ref_config.yolact_base_config)
+    overrides = {
         'max_size': 128,
         'num_classes': 5,
-        'backbone': ref_config.yolact_base_config.backbone.copy({
-            'args': ([1, 1, 1, 1],),
+        'backbone': base.backbone.copy({
+            'args': (([1, 1, 1, 1], [0, 1, 1, 1]) if variant == 'plus'
+                     else ([1, 1, 1, 1],)),
             'pred_scales': [[6], [12], [24], [48], [96]],
         }),
         'mask_proto_net': [(8, 3, {'padding': 1}), (None, -2, {}),
                            (8, 1, {})],
         'extra_head_net': [(16, 3, {'padding': 1})],
-        'fpn': ref_config.yolact_base_config.fpn.copy({'num_features': 16}),
+        'fpn': base.fpn.copy({'num_features': 16}),
         'dataset': ref_config.dataset_base.copy({
             'name': 'tiny_oracle',
             'valid_images': img_dir, 'valid_info': json_path,
             'class_names': ('aa', 'bb', 'cc', 'dd'),
             'label_map': None,
         }),
-    })
+    }
+    if variant == 'plus':
+        overrides['maskiou_net'] = [(8, 3, {'stride': 2}),
+                                    (16, 3, {'stride': 2}),
+                                    (32, 3, {'stride': 2})]
+    return base.copy(overrides)
 
 
-def _overfit_reference(ref_yolact, ref_config, dataset, steps=250, lr=2e-3):
+_overfit_cache = {}
+
+
+def _overfit_reference(ref_yolact, ref_config, dataset, steps=250, lr=2e-3,
+                       cache_key=None):
     """Briefly train the reference torch net on the eval images themselves
-    (reference loss + SGD) so eval produces well-localised detections."""
+    (reference loss + SGD) so eval produces well-localised detections.
+    cache_key reuses the trained weights across NMS legs of the same
+    variant (the training is NMS-independent)."""
+    if cache_key is not None and cache_key in _overfit_cache:
+        net = ref_yolact.Yolact()
+        net.load_state_dict(_overfit_cache[cache_key])
+        net.train()
+        return net
     mbl = importlib.import_module('layers.modules.multibox_loss')
     torch.manual_seed(0)
     net = ref_yolact.Yolact()
@@ -156,37 +176,59 @@ def _overfit_reference(ref_yolact, ref_config, dataset, steps=250, lr=2e-3):
         loss.backward()
         opt.step()
     assert torch.isfinite(loss), loss
+    if cache_key is not None:
+        _overfit_cache[cache_key] = {k: v.clone() for k, v in
+                                     net.state_dict().items()}
     return net
 
 
 @pytest.mark.slow
-def test_full_eval_map_table_oracle(tmp_path):
+@pytest.mark.parametrize('variant,fast_nms', [
+    ('base', True),
+    # DCN backbone + maskiou rescoring through the WHOLE loop (the per-stage
+    # oracles cover them in isolation); the reference's DCN runs through the
+    # pure-torch CUDA-semantics shim (install_ref_dcn_shim)
+    ('plus', True),
+    # traditional (greedy per-class) NMS leg incl. maskiou rescoring on that
+    # path; the reference runs its real traditional_nms with cython_nms
+    # transcribed to numpy (install_ref_cython_nms_shim)
+    ('plus', False),
+], ids=['base-fastnms', 'plus-fastnms', 'plus-tradnms'])
+def test_full_eval_map_table_oracle(tmp_path, variant, fast_nms):
     ref_yolact, ref_config, _, _ = import_reference()
     # the shim must be in place before reference data.coco's late import
     sys.modules['pycocotools.coco'].COCO = _ShimCOCO
     ref_coco = importlib.import_module('data.coco')
     ref_eval = importlib.import_module('eval')
     ref_aug = importlib.import_module('utils.augmentations')
+    if variant == 'plus':
+        install_ref_dcn_shim()
+    if not fast_nms:
+        install_ref_cython_nms_shim()
 
     img_dir, json_path = _write_oracle_coco(tmp_path)
-    old_cfg = ref_config.yolact_base_config
-    ref_config.set_cfg('yolact_base_config')
-    ref_config.cfg.replace(_tiny_ref_cfg(ref_config, img_dir, json_path))
+    old_cfg = ref_config.cfg.copy()
+    ref_config.set_cfg('yolact_plus_resnet50_config' if variant == 'plus'
+                       else 'yolact_base_config')
+    ref_config.cfg.replace(
+        _tiny_ref_cfg(ref_config, img_dir, json_path, variant))
     torch.Tensor.cuda = lambda self, *a, **k: self
+    name = f'tiny_oracle_{variant}_{"fast" if fast_nms else "trad"}'
     try:
         ref_dataset = ref_coco.COCODetection(
             img_dir, json_path,
             transform=ref_aug.BaseTransform(),
             target_transform=ref_coco.COCOAnnotationTransform())
-        net = _overfit_reference(ref_yolact, ref_config, ref_dataset)
+        net = _overfit_reference(ref_yolact, ref_config, ref_dataset,
+                                 cache_key=variant)
 
-        pth = str(tmp_path / 'tiny_oracle_5_250.pth')
+        pth = str(tmp_path / f'{name}_5_250.pth')
         torch.save(net.state_dict(), pth)
 
         # ---- reference full eval loop ----
         net.eval()
         ref_eval.args = types.SimpleNamespace(
-            fast_nms=True, cross_class_nms=False, mask_proto_debug=False,
+            fast_nms=fast_nms, cross_class_nms=False, mask_proto_debug=False,
             image=None, images=None, video=None, display=False,
             benchmark=False, shuffle=False, no_sort=False, no_bar=True,
             max_images=-1, output_coco_json=False, output_web_json=False,
@@ -200,18 +242,20 @@ def test_full_eval_map_table_oracle(tmp_path):
         from yolact_tpu.cli import eval as our_eval_cli
         from yolact_tpu.eval.evaluate import calc_map_from_file
 
-        cfg = tiny_resnet_config()
+        cfg = (tiny_plus_config() if variant == 'plus'
+               else tiny_resnet_config())
         cfg = cfg.copy(
-            name='tiny_oracle',
+            name=name,
             compute_dtype='float32',
             dataset=cfg.dataset.copy(
                 valid_images=img_dir, valid_info=json_path,
                 class_names=('aa', 'bb', 'cc', 'dd'), label_map=None))
-        register_config(cfg, 'tiny_oracle')
+        register_config(cfg, name)
         ap_file = str(tmp_path / 'our_ap.pkl')
         our_eval_cli.main(['--trained_model', pth,
-                           '--config', 'tiny_oracle',
+                           '--config', name,
                            '--ap_data_file', ap_file,
+                           '--fast_nms', str(fast_nms),
                            '--no_bar'])
         our_maps = calc_map_from_file(cfg, ap_file)
 
