@@ -171,7 +171,9 @@ def main():
 
     def pallas_kernel(yx_ref, w4_ref, slab_ref, out_ref):
         # yx_ref: [1, TILE, 2] int32 (SMEM) flat row starts (top, bottom)
-        # w4_ref: [1, TILE, 4] f32 (VMEM) corner weights (00,01,10,11)
+        # w4_ref: [1, TILE, 4] f32 (SMEM) corner weights (00,01,10,11) —
+        #   VMEM scalar reads at a dynamic sublane index are a Mosaic
+        #   dynamic_slice (unimplemented); SMEM scalar loads are supported
         # slab_ref: [1, R, C] bf16 (VMEM) padded flat feature map (one image)
         # out_ref: [1, TILE, C] bf16
         def body(i, _):
@@ -179,9 +181,8 @@ def main():
             r1 = yx_ref[0, i, 1]
             top = slab_ref[0, pl.ds(r0, 2), :].astype(jnp.float32)  # [2, C]
             bot = slab_ref[0, pl.ds(r1, 2), :].astype(jnp.float32)  # [2, C]
-            w = w4_ref[0, i, :]
-            acc = (top[0:1] * w[0] + top[1:2] * w[1] +
-                   bot[0:1] * w[2] + bot[1:2] * w[3])               # [1, C]
+            acc = (top[0:1] * w4_ref[0, i, 0] + top[1:2] * w4_ref[0, i, 1] +
+                   bot[0:1] * w4_ref[0, i, 2] + bot[1:2] * w4_ref[0, i, 3])
             out_ref[0, pl.ds(i, 1), :] = acc.astype(out_ref.dtype)
             return 0
         jax.lax.fori_loop(0, TILE, body, 0)
@@ -212,7 +213,8 @@ def main():
             in_specs=[
                 pl.BlockSpec((1, TILE, 2), lambda b, t: (b, t, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, TILE, 4), lambda b, t: (b, t, 0)),
+                pl.BlockSpec((1, TILE, 4), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, R, C), lambda b, t: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
