@@ -48,21 +48,25 @@ def chained_grad(fn, args, iters):
     return run(args, iters)
 
 
-def stage_dcn(batch, iters, oob=False):
+def stage_dcn(batch, iters, oob=False, dtype='float32'):
     import jax.numpy as jnp
     from yolact_tpu.kernels.dcn import deform_conv2d
 
     rng = np.random.RandomState(0)
+    dt = jnp.dtype(dtype)
     # plus_resnet50 DCN stage shapes (H, W, Cin->Cout of the 3x3 conv2)
     shapes = [(69, 128), (35, 256), (18, 512)]
     for H, C in shapes:
         K = 3
-        x = jnp.asarray(rng.randn(batch, H, H, C).astype(np.float32))
+        # dtype placement mirrors DCNLayer: x/mask/weight in compute dtype,
+        # offsets f32 (resnet.py:65-68)
+        x = jnp.asarray(rng.randn(batch, H, H, C).astype(np.float32)).astype(dt)
         scale = 40.0 if oob else 2.0
         off = jnp.asarray(
             (rng.randn(batch, H, H, 2 * K * K) * scale).astype(np.float32))
-        m = jnp.asarray(rng.rand(batch, H, H, K * K).astype(np.float32))
-        w = jnp.asarray((rng.randn(K, K, C, C) * 0.05).astype(np.float32))
+        m = jnp.asarray(rng.rand(batch, H, H, K * K).astype(np.float32)).astype(dt)
+        w = jnp.asarray(
+            (rng.randn(K, K, C, C) * 0.05).astype(np.float32)).astype(dt)
 
         def f(x, off, m, w):
             return jnp.sum(deform_conv2d(x, off, m, w) ** 2) * 1e-6
@@ -70,17 +74,17 @@ def stage_dcn(batch, iters, oob=False):
         t0 = time.perf_counter()
         acc = chained_grad(f, (x, off, m, w), iters)
         v = float(acc)
-        print(f'  dcn{"-oob" if oob else ""} b{batch} {H}x{H}x{C}: OK '
+        print(f'  dcn{"-oob" if oob else ""} {dtype} b{batch} {H}x{H}x{C}: OK '
               f'acc={v:.4g}  {time.perf_counter() - t0:.1f}s', flush=True)
 
 
-def stage_backbone(batch, iters):
+def stage_backbone(batch, iters, dtype='float32'):
     import jax
     import jax.numpy as jnp
     from yolact_tpu.config import get_config
     from yolact_tpu.models.yolact import Yolact
 
-    cfg = get_config('yolact_plus_resnet50')
+    cfg = get_config('yolact_plus_resnet50').copy(compute_dtype=dtype)
     model = Yolact(cfg)
     x = jnp.zeros((batch, cfg.max_size, cfg.max_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=True)
@@ -116,7 +120,7 @@ def stage_loss(batch, iters):
     bt.main()
 
 
-def stage_bbparams(batch, iters):
+def stage_bbparams(batch, iters, dtype='float32'):
     """Full plus model fwd+bwd like stage_backbone, but grads wrt PARAMS
     (the backbone stage only took grads wrt the input)."""
     import jax
@@ -124,7 +128,7 @@ def stage_bbparams(batch, iters):
     from yolact_tpu.config import get_config
     from yolact_tpu.models.yolact import Yolact
 
-    cfg = get_config('yolact_plus_resnet50')
+    cfg = get_config('yolact_plus_resnet50').copy(compute_dtype=dtype)
     model = Yolact(cfg)
     x = jnp.zeros((batch, cfg.max_size, cfg.max_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=True)
@@ -152,7 +156,8 @@ def stage_bbparams(batch, iters):
           f'{time.perf_counter() - t0:.1f}s', flush=True)
 
 
-def stage_loss_variants(batch, iters, maskiou, grad, update):
+def stage_loss_variants(batch, iters, maskiou, grad, update,
+                        dtype='float32'):
     """train_step replica with toggles: maskiou on/off, grad on/off,
     optimizer update on/off."""
     import jax
@@ -163,7 +168,7 @@ def stage_loss_variants(batch, iters, maskiou, grad, update):
     from yolact_tpu.train.step import create_train_state
 
     name = os.environ.get('BENCH_TRAIN_CONFIG', 'yolact_plus_resnet50')
-    cfg = get_config(name).copy(compute_dtype='float32')
+    cfg = get_config(name).copy(compute_dtype=dtype)
     if not maskiou:
         cfg = cfg.copy(use_maskiou=False, maskiou_net=())
     model, state = create_train_state(cfg, seed=0)
@@ -394,28 +399,29 @@ def main():
     print(f'== probe_plus_train_crash {stage} b{batch} i{iters} '
           f'{time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())} ==',
           flush=True)
+    dtype = sys.argv[4] if len(sys.argv) > 4 else 'float32'
     if stage == 'dcn':
-        stage_dcn(batch, iters)
+        stage_dcn(batch, iters, dtype=dtype)
     elif stage == 'dcnoob':
-        stage_dcn(batch, iters, oob=True)
+        stage_dcn(batch, iters, oob=True, dtype=dtype)
     elif stage == 'backbone':
-        stage_backbone(batch, iters)
+        stage_backbone(batch, iters, dtype=dtype)
     elif stage == 'loss':
         stage_loss(batch, iters)
     elif stage == 'bbparams':
-        stage_bbparams(batch, iters)
+        stage_bbparams(batch, iters, dtype=dtype)
     elif stage == 'lossng':     # loss value only, no grad
         stage_loss_variants(batch, iters, maskiou=True, grad=False,
-                            update=False)
+                            update=False, dtype=dtype)
     elif stage == 'lossnm':     # full grad+update, maskiou OFF
         stage_loss_variants(batch, iters, maskiou=False, grad=True,
-                            update=True)
+                            update=True, dtype=dtype)
     elif stage == 'lossnu':     # grad but no optimizer update
         stage_loss_variants(batch, iters, maskiou=True, grad=True,
-                            update=False)
+                            update=False, dtype=dtype)
     elif stage == 'lossall':    # grad + update + maskiou (≈ bench_train)
         stage_loss_variants(batch, iters, maskiou=True, grad=True,
-                            update=True)
+                            update=True, dtype=dtype)
     elif stage == 'step':       # real-train_step replica, toggleable
         stage_step(batch, iters,
                    sys.argv[4] if len(sys.argv) > 4 else 'all')
