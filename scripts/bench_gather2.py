@@ -346,11 +346,17 @@ def main():
             return acc
         f = jax.jit(chained, static_argnums=3)
         try:
-            float(f(x, ys, xs, 2))   # compile + warm
+            # warm with the SAME static n as the timed call: a different n
+            # is a different jit specialization, and the old n=2 warmup made
+            # the timed call pay a fresh ~10 s remote compile (this is what
+            # flattened the 2026-08-20 numbers to ~340 ms/batch for every
+            # distribution — results/gather_r4a.txt)
+            float(f(x, ys, xs, ITERS))
         except Exception as e:  # noqa: BLE001
             print(f'{name:8s} compile FAILED: {type(e).__name__}: {str(e)[:200]}')
             return
         t0 = time.perf_counter()
+        # perturbed input so the relay cannot coalesce-cache the dispatch
         float(f(x, ys + 1e-6, xs, ITERS))
         dt = (time.perf_counter() - t0) / ITERS
         ns = dt * 1e9 / (B * N)
