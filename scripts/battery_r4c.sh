@@ -29,7 +29,7 @@ BENCH_TRAIN_CONFIG=yolact_plus_resnet50 timeout 1800 \
   python scripts/bench_train.py 8 20 float32 >>"$out" 2>&1
 echo "exit=$? $(stamp)" | tee -a "$out"
 
-gout=results/gather_r4.txt
+gout=results/gather_r4c_gather.txt  # battery-specific: never clobber battery_r4.sh evidence
 echo "== bench_gather2 8 30 $(stamp) ==" > "$gout"
 timeout 900 python scripts/bench_gather2.py 8 30 >>"$gout" 2>&1
 echo "exit=$? $(stamp)" | tee -a "$gout"

@@ -27,6 +27,7 @@ corner blocks) so the comparison includes epilogue fusion effects.
 import os
 import sys
 import time
+import traceback
 from functools import partial
 
 import numpy as np
@@ -345,19 +346,29 @@ def main():
             _, acc = jax.lax.fori_loop(0, n, body, (ys, 0.0))
             return acc
         f = jax.jit(chained, static_argnums=3)
+        # compile and warm-execute SEPARATELY so failures are labeled by
+        # phase (round 4 mislabeled warm-exec AssertionErrors as "compile
+        # FAILED" — results/gather_r4a.txt), and warm with the SAME static
+        # n as the timed call: a different n is a different jit
+        # specialization, and the old n=2 warmup made the timed call pay a
+        # fresh ~10 s remote compile.
         try:
-            # warm with the SAME static n as the timed call: a different n
-            # is a different jit specialization, and the old n=2 warmup made
-            # the timed call pay a fresh ~10 s remote compile (this is what
-            # flattened the 2026-08-20 numbers to ~340 ms/batch for every
-            # distribution — results/gather_r4a.txt)
-            float(f(x, ys, xs, ITERS))
+            compiled = f.lower(x, ys, xs, ITERS).compile()
         except Exception as e:  # noqa: BLE001
-            print(f'{name:8s} compile FAILED: {type(e).__name__}: {str(e)[:200]}')
+            tb = traceback.format_exc().strip().splitlines()
+            print(f'{name:8s} compile FAILED: {type(e).__name__}: '
+                  f'{str(e)[:200]} @ {tb[-2].strip()[:160]}')
+            return
+        try:
+            float(compiled(x, ys, xs))
+        except Exception as e:  # noqa: BLE001
+            tb = traceback.format_exc().strip().splitlines()
+            print(f'{name:8s} warm FAILED: {type(e).__name__}: '
+                  f'{str(e)[:200]} @ {tb[-2].strip()[:160]}')
             return
         t0 = time.perf_counter()
         # perturbed input so the relay cannot coalesce-cache the dispatch
-        float(f(x, ys + 1e-6, xs, ITERS))
+        float(compiled(x, ys + 1e-6, xs))
         dt = (time.perf_counter() - t0) / ITERS
         ns = dt * 1e9 / (B * N)
         print(f'{name:8s} {dt*1e3:8.3f} ms/batch  {out_bytes/dt/1e9:7.1f} GB/s'

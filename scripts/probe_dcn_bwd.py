@@ -1,0 +1,252 @@
+"""Round-5 probe: is the plus-train worker crash a *duration* problem
+caused by a pathologically slow DCN backward?
+
+Timeline evidence (NOTES.md "plus-train crash"): the crash first appeared
+in remeasure_r3 — immediately AFTER the round-3 DCN gather rework — while
+the round-2 formulation (4 per-corner ``take_along_axis`` row gathers)
+trained the full plus config at 3.6 it/s.  The round-3 form is ONE flat
+[2,2,C]-block ``lax.gather`` with explicit batch indices; its autodiff
+transpose is a scatter-add of [2,2,C] blocks with duplicate indices, which
+XLA:TPU may expand to a *serial* per-update loop.  r4c timing is
+consistent: a SINGLE DCN layer value_and_grad ran ~0.6-0.7 s/iter warm at
+35x35x256 (results/plus_train_r4c.txt: 6.8s for i10), so the 13-DCN-layer
+full step would take tens of seconds per iteration and the default i20
+chained dispatch becomes a >5 min single execution — long enough to trip
+the relay/worker watchdog ("TPU worker process crashed or restarted").
+
+Stages (argv[1]):
+  ab        per-shape A/B at each plus stage shape: fwd-only, grad through
+            the CURRENT block-gather form, grad through the ROUND-2 row
+            (take_along_axis) form.  Reports warm s/iter for each.
+  memanal   lower+compile the real plus train step (chained, like
+            bench_train) and print compiled memory_analysis WITHOUT
+            executing — zero crash risk.
+  sweep     realstep with a hot compile: run i1, fence, then i2, i4 —
+            the fori_loop trip count is traced, so all reuse one
+            executable; reports measured s/iter of the REAL train step.
+
+Usage: python scripts/probe_dcn_bwd.py <stage> [batch] [iters] [dtype]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import yolact_tpu.utils.jax_setup  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------- round-2
+# row-gather bilinear sampler (verbatim math of the pre-rework form, git
+# 2233b78): 4 per-corner take_along_axis row gathers over flattened H*W.
+# Its transpose is a per-batch row scatter — the form that trained at
+# 3.6 it/s in the round-2 probe.
+def _bilinear_gather_rows(x, ys, xs):
+    import jax.numpy as jnp
+    B, H, W, C = x.shape
+    x_flat = x.reshape(B, H * W, C)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+    out = 0.
+    for dy, wy in ((0, wy0), (1, wy1)):
+        for dx, wx in ((0, wx0), (1, wx1)):
+            yi = y0.astype(jnp.int32) + dy
+            xi = x0.astype(jnp.int32) + dx
+            valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            g = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
+            w = (wy * wx * valid).astype(x.dtype)
+            out = out + g * w[..., None]
+    return out
+
+
+def deform_conv2d_rows(x, offset, mask, weight, bias=None,
+                       stride=1, padding=1, dilation=1):
+    """deform_conv2d with the round-2 row-gather core (probe-only)."""
+    import jax
+    import jax.numpy as jnp
+    B, H, W, Cin = x.shape
+    K = weight.shape[0]
+    Ho = (H + 2 * padding - dilation * (K - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (K - 1) - 1) // stride + 1
+    hs = jnp.arange(Ho, dtype=x.dtype) * stride - padding
+    ws = jnp.arange(Wo, dtype=x.dtype) * stride - padding
+    kh = jnp.arange(K, dtype=x.dtype) * dilation
+    base_y = hs[:, None, None, None] + kh[None, None, :, None]
+    base_x = ws[None, :, None, None] + kh[None, None, None, :]
+    base_y = jnp.broadcast_to(base_y, (Ho, Wo, K, K)).reshape(1, Ho, Wo, K * K)
+    base_x = jnp.broadcast_to(base_x, (Ho, Wo, K, K)).reshape(1, Ho, Wo, K * K)
+    off = offset.reshape(B, Ho, Wo, K * K, 2)
+    ys = (base_y + off[..., 0]).reshape(B, Ho * Wo * K * K)
+    xs = (base_x + off[..., 1]).reshape(B, Ho * Wo * K * K)
+    cols = _bilinear_gather_rows(x, ys, xs)
+    cols = (cols.reshape(B, Ho * Wo, K * K, Cin) *
+            mask.reshape(B, Ho * Wo, K * K, 1).astype(cols.dtype))
+    w = weight.reshape(K * K * Cin, -1)
+    out = jax.lax.dot_general(
+        cols.reshape(B * Ho * Wo, K * K * Cin), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(B, Ho, Wo, -1)
+
+
+def _chained(fn, grad):
+    """Serial-dependency loop; trip count traced (one compile per fn)."""
+    import jax
+
+    @jax.jit
+    def run(args, n):
+        def body(i, carry):
+            a, acc = carry
+            if grad:
+                val, g = jax.value_and_grad(fn)(a[0], *a[1:])
+            else:
+                val = fn(*a)
+            a = (a[0] + 1e-9 * val,) + a[1:]
+            return a, acc + val
+        a, acc = jax.lax.fori_loop(0, n, body, (args, 0.0))
+        return acc
+    return run
+
+
+def stage_ab(batch, iters, dtype='float32'):
+    import jax.numpy as jnp
+    from yolact_tpu.kernels.dcn import deform_conv2d
+
+    rng = np.random.RandomState(0)
+    dt = jnp.dtype(dtype)
+    # cheapest compile first
+    shapes = [(18, 512), (35, 256), (69, 128)]
+    K = 3
+    for H, C in shapes:
+        x = jnp.asarray(rng.randn(batch, H, H, C).astype(np.float32)).astype(dt)
+        off = jnp.asarray(
+            (rng.randn(batch, H, H, 2 * K * K) * 2.0).astype(np.float32))
+        m = jnp.asarray(rng.rand(batch, H, H, K * K).astype(np.float32)).astype(dt)
+        w = jnp.asarray(
+            (rng.randn(K, K, C, C) * 0.05).astype(np.float32)).astype(dt)
+
+        for name, impl, grad in (
+                ('fwd-block', deform_conv2d, False),
+                ('vjp-block', deform_conv2d, True),
+                ('fwd-rows', deform_conv2d_rows, False),
+                ('vjp-rows', deform_conv2d_rows, True)):
+            def f(x, off, m, w, impl=impl):
+                return jnp.sum(impl(x, off, m, w) ** 2) * 1e-6
+            run = _chained(f, grad)
+            t0 = time.perf_counter()
+            v = float(run((x, off, m, w), 1))          # compile + 1 iter
+            t_compile = time.perf_counter() - t0
+            # two warm timed calls; perturb so the relay can't dedup
+            per = []
+            for rep in range(2):
+                xr = x + jnp.asarray(1e-6 * (rep + 1), dt)
+                _ = float(jnp.sum(xr))                 # settle transfer
+                t0 = time.perf_counter()
+                v = float(run((xr, off, m, w), iters))
+                per.append((time.perf_counter() - t0) / iters)
+            print(f'  {name} {dtype} b{batch} {H}x{H}x{C}: '
+                  f'{min(per) * 1e3:.1f} ms/iter (reps '
+                  f'{per[0] * 1e3:.1f}/{per[1] * 1e3:.1f}), '
+                  f'compile+1 {t_compile:.1f}s, acc={v:.4g}', flush=True)
+
+
+def _plus_setup(batch, dtype):
+    from yolact_tpu.config import get_config
+    from yolact_tpu.train.step import create_train_state
+    from scripts.probe_plus_train_crash import _synth_data
+    name = os.environ.get('BENCH_TRAIN_CONFIG', 'yolact_plus_resnet50')
+    cfg = get_config(name).copy(compute_dtype=dtype)
+    model, state = create_train_state(cfg, seed=0)
+    data = _synth_data(cfg, batch)
+    return cfg, model, state, data
+
+
+def _plus_chained(cfg, model):
+    import jax
+    from yolact_tpu.train.step import train_step
+
+    @jax.jit
+    def chained(state, data, n):
+        def body(i, carry):
+            st, d, acc = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            st, losses = train_step(cfg, model, st, d, key)
+            s = losses['total'] * 1e-9
+            d = dict(d, image=d['image'].at[0, 0, 0, 0].add(s))
+            return st, d, acc + losses['total']
+        st, _, acc = jax.lax.fori_loop(0, n, body, (state, data, 0.0))
+        return st, acc
+    return chained
+
+
+def stage_memanal(batch, dtype='float32'):
+    cfg, model, state, data = _plus_setup(batch, dtype)
+    chained = _plus_chained(cfg, model)
+    t0 = time.perf_counter()
+    lowered = chained.lower(state, data, 1)
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    print(f'  compile {time.perf_counter() - t0:.1f}s', flush=True)
+    for k in ('argument_size_in_bytes', 'output_size_in_bytes',
+              'temp_size_in_bytes', 'generated_code_size_in_bytes',
+              'alias_size_in_bytes'):
+        v = getattr(ma, k, None)
+        if v is not None:
+            print(f'  {k}: {v / 2**30:.3f} GiB' if v > 2**20 else
+                  f'  {k}: {v}', flush=True)
+
+
+def stage_sweep(batch, dtype='float32'):
+    import jax.numpy as jnp
+    cfg, model, state, data = _plus_setup(batch, dtype)
+    chained = _plus_chained(cfg, model)
+    t0 = time.perf_counter()
+    st, acc = chained(state, data, 1)
+    v = float(acc)
+    print(f'  realstep i1 {dtype} b{batch}: OK acc={v:.4g}  '
+          f'{time.perf_counter() - t0:.1f}s (incl compile)', flush=True)
+    prev = 0.0
+    for n in (1, 2, 4):
+        d = dict(data, image=data['image'] + 1e-6 * (n + 1))
+        _ = float(jnp.sum(d['image']))
+        t0 = time.perf_counter()
+        st2, acc = chained(state, d, n)
+        v = float(acc)
+        dt = time.perf_counter() - t0
+        marg = f', marginal {(dt - prev):.1f}s' if n > 1 else ''
+        print(f'  realstep i{n}: OK {dt:.1f}s = {dt / n:.1f} s/iter{marg}',
+              flush=True)
+        prev = dt
+
+
+def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else 'ab'
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dtype = sys.argv[4] if len(sys.argv) > 4 else 'float32'
+    print(f'== probe_dcn_bwd {stage} b{batch} i{iters} {dtype} '
+          f'{time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())} ==',
+          flush=True)
+    if stage == 'ab':
+        stage_ab(batch, iters, dtype)
+    elif stage == 'memanal':
+        stage_memanal(batch, dtype)
+    elif stage == 'sweep':
+        stage_sweep(batch, dtype)
+    else:
+        raise SystemExit(f'unknown stage {stage}')
+    print('PROBE DONE', flush=True)
+
+
+if __name__ == '__main__':
+    main()
