@@ -166,6 +166,8 @@ def _plus_setup(batch, dtype):
     from scripts.probe_plus_train_crash import _synth_data
     name = os.environ.get('BENCH_TRAIN_CONFIG', 'yolact_plus_resnet50')
     cfg = get_config(name).copy(compute_dtype=dtype)
+    if os.environ.get('PROBE_REMAT'):           # A/B the remat policy
+        cfg = cfg.copy(train_remat=os.environ['PROBE_REMAT'])
     model, state = create_train_state(cfg, seed=0)
     data = _synth_data(cfg, batch)
     return cfg, model, state, data
@@ -229,6 +231,26 @@ def stage_sweep(batch, dtype='float32'):
         prev = dt
 
 
+def stage_profile(batch, dtype='float32'):
+    """Trace ONE warm chained(i2) execution of the real plus train step;
+    summarize with scripts/parse_xplane.py <dir>/plugins/profile/*/*.xplane.pb"""
+    import glob
+    import jax
+    import jax.numpy as jnp
+    cfg, model, state, data = _plus_setup(batch, dtype)
+    chained = _plus_chained(cfg, model)
+    _, acc = chained(state, data, 1)
+    print(f'  warm acc={float(acc):.4g}', flush=True)
+    prof_dir = os.environ.get('PROBE_PROFILE_DIR', '/tmp/prof_plus_train')
+    d = dict(data, image=data['image'] + 1e-6)
+    _ = float(jnp.sum(d['image']))
+    with jax.profiler.trace(prof_dir):
+        _, acc = chained(state, d, 2)
+        _ = float(acc)
+    pbs = glob.glob(f'{prof_dir}/plugins/profile/*/*.xplane.pb')
+    print(f'  profile: {pbs}', flush=True)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else 'ab'
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -243,6 +265,8 @@ def main():
         stage_memanal(batch, dtype)
     elif stage == 'sweep':
         stage_sweep(batch, dtype)
+    elif stage == 'profile':
+        stage_profile(batch, dtype)
     else:
         raise SystemExit(f'unknown stage {stage}')
     print('PROBE DONE', flush=True)

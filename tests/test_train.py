@@ -292,3 +292,38 @@ def test_lr_follows_state_step_on_resume(trainer, rng):
     lo_delta = np.abs(w_lo - w0).max()
     ratio = cfg.lr / cfg.lr_warmup_init
     assert hi_delta > lo_delta * ratio * 0.5, (hi_delta, lo_delta)
+
+
+def test_train_remat_dcn_matches_none(rng):
+    """cfg.train_remat must not change the param tree (checkpoint compat)
+    nor any numerics — it only changes the autodiff residual policy
+    (models/resnet.py nn.remat over DCN bottleneck blocks)."""
+    import jax.numpy as jnp
+    from _tiny import tiny_plus_config
+    from yolact_tpu.models.yolact import Yolact
+
+    x = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    outs = {}
+    for remat in ('none', 'dcn'):
+        cfg = tiny_plus_config(train_remat=remat)
+        model = Yolact(cfg)
+        v = model.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(p, v=v, model=model):
+            preds, _ = model.apply(
+                {'params': p, 'batch_stats': v['batch_stats']},
+                x, train=True, mutable=['batch_stats'])
+            return sum(jnp.sum(l.astype(jnp.float32) ** 2) * 1e-6
+                       for l in jax.tree_util.tree_leaves(preds))
+
+        val, g = jax.jit(jax.value_and_grad(loss))(v['params'])
+        outs[remat] = (v, float(val), g)
+    vn, valn, gn = outs['none']
+    vr, valr, gr = outs['dcn']
+    assert (jax.tree_util.tree_structure(vn) ==
+            jax.tree_util.tree_structure(vr))
+    assert np.allclose(valn, valr, rtol=1e-6), (valn, valr)
+    for a, b in zip(jax.tree_util.tree_leaves(gn),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

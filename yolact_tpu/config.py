@@ -415,6 +415,13 @@ class YolactConfig:
     # checkpoint params; enabled automatically by infer.Pipeline for
     # ResNet backbones (see infer.maybe_enable_stem_s2d).
     stem_s2d: bool = False
+    # Rematerialize backbone bottleneck blocks in the training backward
+    # pass ('none' | 'dcn' | 'all'):  'dcn' wraps only DCN blocks in
+    # jax.checkpoint, discarding their big gather/im2col intermediates
+    # between fwd and bwd.  Without it the yolact_plus train step peaks
+    # at ~14.4 GiB temp HBM at b8 550² f32 (probe_dcn_bwd memanal) on a
+    # 16 GiB chip.  No effect on inference or on the param tree.
+    train_remat: str = 'dcn'
 
     def copy(self, **kw) -> 'YolactConfig':
         for k in ('mask_proto_net', 'extra_head_net', 'maskiou_net',

@@ -164,6 +164,11 @@ class ResNetBackbone(nn.Module):
     norm: str = 'bn'
     dtype: Optional[Any] = None
     stem_s2d: bool = False  # input is 2x2 space-to-depth (see layers.Conv)
+    # 'none' | 'dcn' | 'all': wrap bottleneck blocks in jax.checkpoint
+    # during TRAINING so their intermediates (the DCN corner-block gather
+    # and im2col tensors especially) are recomputed in the backward pass
+    # instead of held in HBM (cfg.train_remat; config.py has the numbers)
+    train_remat: str = 'none'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,7 +188,13 @@ class ResNetBackbone(nn.Module):
         outs = []
         for si, stage in enumerate(plans):
             for bi, blk in enumerate(stage):
-                x = Bottleneck(norm=self.norm, dtype=self.dtype,
-                               name=f'layers_{si}_{bi}', **blk)(x, train)
+                cls = Bottleneck
+                if train and (self.train_remat == 'all' or
+                              (self.train_remat == 'dcn' and blk['use_dcn'])):
+                    # identical param tree and forward math; only the
+                    # autodiff residual policy changes
+                    cls = nn.remat(Bottleneck, static_argnums=(2,))
+                x = cls(norm=self.norm, dtype=self.dtype,
+                        name=f'layers_{si}_{bi}', **blk)(x, train)
             outs.append(x)
         return tuple(outs)

@@ -48,6 +48,7 @@ def _build_backbone(cfg: YolactConfig, dtype):
             num_stages=max(num_stages, len(layers)),
             norm='gn' if bb.type == 'resnet_gn' else 'bn',
             stem_s2d=cfg.stem_s2d,
+            train_remat=cfg.train_remat,
             dtype=dtype, name='backbone')
     if cfg.stem_s2d:
         raise ValueError('stem_s2d is only supported for ResNet backbones')
