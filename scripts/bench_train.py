@@ -97,8 +97,36 @@ def main():
     # fetching the scalar (float()) is the only reliable completion fence.
     # Each rep perturbs the input so no dispatch is byte-identical to a
     # previous one (the relay dedups identical async dispatches).
-    st, acc = chained(state, data, iters)
+    #
+    # WATCHDOG GUARD: this rig kills any single device dispatch longer
+    # than roughly a minute ("TPU worker process crashed or restarted" —
+    # NOTES.md "plus-train crash: root cause").  Measure one iteration
+    # first and cap the chained trip count so a dispatch stays under ~25 s
+    # (the fori_loop trip count is a traced arg, so no recompile).
+    st, acc = chained(state, data, 1)
     _ = float(acc)
+    t0 = time.perf_counter()
+    st, acc = chained(state, dict(data, image=data['image'] + 1e-8), 1)
+    _ = float(acc)
+    s_per_iter = time.perf_counter() - t0
+    chunk = max(1, min(iters, int(25.0 / max(s_per_iter, 1e-3))))
+    if chunk < iters:
+        print(f'# watchdog guard: {s_per_iter:.2f} s/iter measured -> '
+              f'chained dispatches capped at {chunk} iters', file=sys.stderr)
+
+    def run_iters(d, n):
+        """n iterations as ceil(n/chunk) chained dispatches (each chunk
+        restarts from the initial state, like the timing reps always did),
+        fencing every dispatch."""
+        acc_total = 0.0
+        left = n
+        while left > 0:
+            k = min(chunk, left)
+            _, acc = chained(state, d, k)
+            acc_total += float(acc)  # fence each dispatch
+            d = dict(d, image=d['image'] + 1e-9)
+            left -= k
+        return acc_total
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
@@ -112,8 +140,7 @@ def main():
         d = dict(data, image=data['image'] + 1e-6 * (rep + 1))
         _ = float(jnp.sum(d['image']))  # settle the input transfer
         t0 = time.perf_counter()
-        st, acc = chained(state, d, iters)
-        loss = float(acc) / iters       # fetch = completion fence
+        loss = run_iters(d, iters) / iters
         times.append(time.perf_counter() - t0)
 
     dt = sorted(times)[len(times) // 2]
