@@ -225,6 +225,16 @@ def main():
         return out[:, :N]
 
     # ---- taa: take_along_axis inside a pallas kernel --------------------
+    # KNOWN DEAD END (diagnosed round 5, explains the bare
+    # "AssertionError:" lines in results/gather_r4a.txt): jax 0.9.0's
+    # Mosaic gather rule (jax/_src/pallas/mosaic/lowering.py,
+    # _gather_lowering_rule) only accepts the SAME-SHAPE form and guards
+    # it with a bare `assert indices_aval.shape == in_aval.shape + (1,)`.
+    # These kernels gather [TILE, C] indices from an [R, C] slab
+    # (TILE=1024 != R=5041), so the jax-side assert fires before Mosaic
+    # even sees the op — the same same-shape constraint the round-4
+    # burial proof padded around (probe_sameshape_gather.py), surfacing
+    # one layer earlier with no message.  Kept as measurement history.
     def taa_kernel(idx_ref, slab_ref, out_ref):
         # idx_ref: [1, TILE, C] int32 row index broadcast over lanes
         # slab_ref: [1, R, C]; out_ref: [1, TILE, C]
