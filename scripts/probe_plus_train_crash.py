@@ -277,8 +277,11 @@ def _synth_data(cfg, batch):
 
 def stage_step(batch, iters, features):
     """Replicate train/step.py:train_step exactly, with its distinguishing
-    features individually toggleable (the lossall replica lacks all of
-    them and passes; bench_train has all and crashes the TPU worker):
+    features individually toggleable.  (Round-4 pass/crash claims for the
+    lossall/step stages lived only in /tmp/bisect.log, which was lost to a
+    host reprovision — treat them as unverified.  Round 5 made the whole
+    question moot: the crash was dispatch DURATION, not any feature —
+    NOTES.md "plus-train crash: root cause (round 5)".)  Features:
 
       guard     isfinite-all-leaves reduction + where() zeroing of grads
       rollback  final tree.map(where) rollback over the WHOLE new state
@@ -363,7 +366,9 @@ def stage_step(batch, iters, features):
 
 def stage_realstep(batch, iters, dtype='float32'):
     """The REAL train/step.py:train_step in the same chained harness as
-    bench_train (stage_step's replica of it passes; bench_train crashes)."""
+    bench_train.  Crashes at iters>=20 pre-remat (dispatch duration —
+    see NOTES.md); probe_dcn_bwd.py's sweep stage is the bounded
+    successor of this stage."""
     import jax
     import jax.numpy as jnp
     from yolact_tpu.config import get_config
