@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-5 battery F: re-measure the single-layer DCN A/B with the FIXED
+# probe (grads genuinely consumed — the first r5a run dead-code-
+# eliminated the backward, see NOTES.md round-5 caveat).  Gives the true
+# per-layer backward cost of the block-gather vs row-gather transposes.
+set -u
+cd "$(dirname "$0")/.."
+out=results/plus_train_r5f.txt
+: > "$out"
+stamp() { date -u +%Y-%m-%dT%H:%M:%SZ; }
+
+wait_chip() {
+  for i in $(seq 1 72); do
+    if timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 128)) @ jnp.ones((128, 128))
+assert float(x.sum()) == 8 * 128 * 128
+" >/dev/null 2>&1; then
+      echo "chip alive (probe $i) $(stamp)" | tee -a "$out"; return 0
+    fi
+    echo "chip dead (probe $i), sleeping 300s $(stamp)" | tee -a "$out"
+    sleep 300
+  done
+  return 1
+}
+
+echo "== battery_r5f start $(stamp) ==" | tee -a "$out"
+wait_chip || { echo "GIVING UP $(stamp)" | tee -a "$out"; exit 1; }
+
+echo "-- probe ab b8 i10 float32 (fixed vjp) $(stamp)" | tee -a "$out"
+timeout 3600 python scripts/probe_dcn_bwd.py ab 8 10 float32 >>"$out" 2>&1
+echo "exit=$? $(stamp)" | tee -a "$out"
+
+echo "== battery_r5f done $(stamp) ==" | tee -a "$out"

@@ -362,19 +362,24 @@ def main():
         # n as the timed call: a different n is a different jit
         # specialization, and the old n=2 warmup made the timed call pay a
         # fresh ~10 s remote compile.
+        def _fail(phase, e):
+            # last actual stack frame (file:line), not a message line —
+            # multi-line jax messages made tb[-2] point at message text
+            frames = traceback.extract_tb(e.__traceback__)
+            site = (f'{frames[-1].filename}:{frames[-1].lineno}'
+                    if frames else '?')
+            msg = ' '.join(str(e).split())[:200]  # flatten newlines
+            print(f'{name:8s} {phase} FAILED: {type(e).__name__}: '
+                  f'{msg} @ {site}')
         try:
             compiled = f.lower(x, ys, xs, ITERS).compile()
         except Exception as e:  # noqa: BLE001
-            tb = traceback.format_exc().strip().splitlines()
-            print(f'{name:8s} compile FAILED: {type(e).__name__}: '
-                  f'{str(e)[:200]} @ {tb[-2].strip()[:160]}')
+            _fail('compile', e)
             return
         try:
             float(compiled(x, ys, xs))
         except Exception as e:  # noqa: BLE001
-            tb = traceback.format_exc().strip().splitlines()
-            print(f'{name:8s} warm FAILED: {type(e).__name__}: '
-                  f'{str(e)[:200]} @ {tb[-2].strip()[:160]}')
+            _fail('warm', e)
             return
         t0 = time.perf_counter()
         # perturbed input so the relay cannot coalesce-cache the dispatch

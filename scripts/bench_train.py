@@ -159,10 +159,13 @@ def main():
                     f' incl. constant state; reference: ~1.5G/img on GPU)')
     except Exception:
         pass
+    nchunks = -(-iters // chunk)
+    chunk_note = (f', chunked x{nchunks} (incl. {nchunks - 1} host fences '
+                  f'— it/s is a lower bound)' if chunk < iters else '')
     print(f'train step {config_name} b{batch}@{S} {dtype}'
           f'{" s2d" if stem_s2d else ""}: {its:.2f} it/s '
           f'({its * batch:.1f} img/s), median of {len(times)}, '
-          f'loss avg {loss:.1f}{peak}')
+          f'loss avg {loss:.1f}{chunk_note}{peak}')
 
 
 if __name__ == '__main__':

@@ -100,8 +100,17 @@ def deform_conv2d_rows(x, offset, mask, weight, bias=None,
 
 
 def _chained(fn, grad):
-    """Serial-dependency loop; trip count traced (one compile per fn)."""
+    """Serial-dependency loop; trip count traced (one compile per fn).
+
+    The gradient must be CONSUMED or XLA dead-code-eliminates the whole
+    backward pass (round-5 code review caught the first version of this
+    probe doing exactly that — every vjp row had measured forward-only;
+    the same bug invalidates probe_plus_train_crash.chained_grad's 'bare
+    DCN grad' round-4 cells).  Here the grad of the FIRST argument (x —
+    the input scatter-add path, the expensive transpose) is folded into
+    the loop carry, so the backward genuinely executes."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(args, n):
@@ -109,9 +118,12 @@ def _chained(fn, grad):
             a, acc = carry
             if grad:
                 val, g = jax.value_and_grad(fn)(a[0], *a[1:])
+                # fold the full grad tensor into the carry: the scatter
+                # output is consumed elementwise, nothing can be DCE'd
+                a = (a[0] + 1e-9 * val + 1e-12 * g,) + a[1:]
             else:
                 val = fn(*a)
-            a = (a[0] + 1e-9 * val,) + a[1:]
+                a = (a[0] + 1e-9 * val,) + a[1:]
             return a, acc + val
         a, acc = jax.lax.fori_loop(0, n, body, (args, 0.0))
         return acc

@@ -33,7 +33,13 @@ def fence(x):
 
 
 def chained_grad(fn, args, iters):
-    """Run fn (returns scalar) iters times with a serial dependency."""
+    """Run fn (returns scalar) iters times with a serial dependency.
+
+    ROUND-5 FIX: the original carry multiplied the gradient by 0, so XLA
+    dead-code-eliminated the entire backward pass — the round-4 'bare
+    DCN grad passes at all stage shapes' cells actually measured
+    forward-only.  The grad is now folded into the carry unscaled-dead
+    -code-proof (elementwise, 1e-12 weight) so the backward executes."""
     import jax
 
     @jax.jit
@@ -41,7 +47,8 @@ def chained_grad(fn, args, iters):
         def body(i, carry):
             a, acc = carry
             val, grads = jax.value_and_grad(fn)(a[0], *a[1:])
-            a = (a[0] + 1e-9 * val * jax.tree_util.tree_leaves(grads)[0][..., :1, :1] * 0 + 1e-9 * val,) + a[1:]
+            g0 = jax.tree_util.tree_leaves(grads)[0]
+            a = (a[0] + 1e-9 * val + 1e-12 * g0,) + a[1:]
             return a, acc + val
         a, acc = jax.lax.fori_loop(0, n, body, (args, 0.0))
         return acc

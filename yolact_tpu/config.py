@@ -421,6 +421,8 @@ class YolactConfig:
     # between fwd and bwd.  Without it the yolact_plus train step peaks
     # at ~14.4 GiB temp HBM at b8 550² f32 (probe_dcn_bwd memanal) on a
     # 16 GiB chip.  No effect on inference or on the param tree.
+    # ResNet-family backbones only (the only ones with DCN stages);
+    # darknet/vgg ignore it.  Unknown values raise at model trace time.
     train_remat: str = 'dcn'
 
     def copy(self, **kw) -> 'YolactConfig':

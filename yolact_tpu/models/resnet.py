@@ -185,6 +185,11 @@ class ResNetBackbone(nn.Module):
         x = jax.nn.relu(x)
         x = max_pool(x, 3, 2, 1)
 
+        if self.train_remat not in ('none', 'dcn', 'all'):
+            raise ValueError(
+                f'train_remat={self.train_remat!r}: expected one of '
+                f"'none', 'dcn', 'all' (a typo here silently disables the "
+                f'HBM relief the knob exists for)')
         outs = []
         for si, stage in enumerate(plans):
             for bi, blk in enumerate(stage):
