@@ -186,6 +186,12 @@ def _plus_setup(batch, dtype):
 
 
 def _plus_chained(cfg, model):
+    # Deliberately mirrors bench_train.py's chained() WITHOUT the
+    # watchdog chunking: probes need one uninterrupted device dispatch
+    # of a known trip count (that is the thing being measured).  If the
+    # chained-dispatch methodology changes (perturbation scheme,
+    # fencing), change it in bench_train.py, here, and in
+    # probe_plus_train_crash.py together.
     import jax
     from yolact_tpu.train.step import train_step
 
