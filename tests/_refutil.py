@@ -48,12 +48,69 @@ def available() -> bool:
     return os.path.isdir(REF)
 
 
+def ref_dcn_v2_conv(x, offset, mask, weight, bias, stride, padding,
+                    dilation=1, deformable_groups=1):
+    """Pure-torch transcription of the reference CUDA DCN semantics
+    (``external/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:26-54`` per-corner
+    zero-OOB bilinear, ``:125-180`` tap/offset/mask channel layout).
+    torch-differentiable — torch.autograd through this IS the reference
+    backward (``dcn_v2_cuda.cu`` backward kernels) for grad oracles."""
+    import torch
+
+    def _pair(v):
+        return v if isinstance(v, (tuple, list)) else (v, v)
+
+    assert deformable_groups == 1
+    B, Cin, H, W = x.shape
+    Cout, _, K, _ = weight.shape
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    Ho = (H + 2 * ph - dh * (K - 1) - 1) // sh + 1
+    Wo = (W + 2 * pw - dw * (K - 1) - 1) // sw + 1
+    K2 = K * K
+    # NOTE: the reference builds conv_offset_mask WITHOUT dilation
+    # (dcn_v2.py:104-110), so for an atrous DCN (padding=dilation>1)
+    # its offset map is LARGER than the conv output and the CUDA
+    # kernel reads scrambled memory — undefined behavior no shipped
+    # config exercises (atrous_layers and dcn_layers never overlap).
+    # Error loudly instead of reproducing UB.
+    assert offset.shape == (B, 2 * K2, Ho, Wo), (
+        f'offset {tuple(offset.shape)} != {(B, 2 * K2, Ho, Wo)} — '
+        'atrous DCN offset-map mismatch (reference UB)')
+    # offset channel 2t is dy_t, 2t+1 is dx_t for tap t = i*K+j
+    # (im2col kernel reads them pairwise, dcn_v2_im2col_cuda.cu:170-173)
+    off = offset.view(B, K2, 2, Ho, Wo)
+    ti = (torch.arange(K2) // K).view(1, K2, 1, 1).float()
+    tj = (torch.arange(K2) % K).view(1, K2, 1, 1).float()
+    ys = ((torch.arange(Ho).float() * sh - ph).view(1, 1, Ho, 1)
+          + ti * dh + off[:, :, 0])
+    xs = ((torch.arange(Wo).float() * sw - pw).view(1, 1, 1, Wo)
+          + tj * dw + off[:, :, 1])
+    y0 = torch.floor(ys)
+    x0 = torch.floor(xs)
+    xflat = x.reshape(B, 1, Cin, H * W).expand(B, K2, Cin, H * W)
+    cols = torch.zeros(B, K2, Cin, Ho, Wo, dtype=x.dtype)
+    for ddy, wy in ((0, 1 - (ys - y0)), (1, ys - y0)):
+        for ddx, wx in ((0, 1 - (xs - x0)), (1, xs - x0)):
+            yc = y0.long() + ddy
+            xc = x0.long() + ddx
+            valid = (yc >= 0) & (yc < H) & (xc >= 0) & (xc < W)
+            idx = (yc.clamp(0, H - 1) * W + xc.clamp(0, W - 1))
+            idx = idx.view(B, K2, 1, Ho * Wo).expand(B, K2, Cin, Ho * Wo)
+            v = torch.gather(xflat, 3, idx).view(B, K2, Cin, Ho, Wo)
+            cols = cols + v * (wy * wx * valid.float()).unsqueeze(2)
+    cols = cols * mask.unsqueeze(2)
+    out = torch.einsum('bkcp,ock->bop',
+                       cols.reshape(B, K2, Cin, Ho * Wo),
+                       weight.reshape(Cout, Cin, K2))
+    return out.view(B, Cout, Ho, Wo) + bias.view(1, -1, 1, 1)
+
+
 def install_ref_dcn_shim():
     """Give the reference a working CPU DCN (its CUDA ``_ext`` cannot exist
-    in this image): a pure-torch transcription of the CUDA semantics
-    (``external/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:26-54`` per-corner
-    zero-OOB bilinear, ``:125-180`` tap/offset/mask channel layout) wrapped
-    in a module with the exact ``DCN`` interface + state-dict layout of
+    in this image): :func:`ref_dcn_v2_conv` wrapped in a module with the
+    exact ``DCN`` interface + state-dict layout of
     ``external/DCNv2/dcn_v2.py:97-128``.  Patches ``backbone.DCN`` (the
     symbol the reference's Bottleneck closes over) and returns the class."""
     import math
@@ -64,53 +121,7 @@ def install_ref_dcn_shim():
     def _pair(v):
         return v if isinstance(v, (tuple, list)) else (v, v)
 
-    def dcn_v2_conv(x, offset, mask, weight, bias, stride, padding,
-                    dilation=1, deformable_groups=1):
-        assert deformable_groups == 1
-        B, Cin, H, W = x.shape
-        Cout, _, K, _ = weight.shape
-        sh, sw = _pair(stride)
-        ph, pw = _pair(padding)
-        dh, dw = _pair(dilation)
-        Ho = (H + 2 * ph - dh * (K - 1) - 1) // sh + 1
-        Wo = (W + 2 * pw - dw * (K - 1) - 1) // sw + 1
-        K2 = K * K
-        # NOTE: the reference builds conv_offset_mask WITHOUT dilation
-        # (dcn_v2.py:104-110), so for an atrous DCN (padding=dilation>1)
-        # its offset map is LARGER than the conv output and the CUDA
-        # kernel reads scrambled memory — undefined behavior no shipped
-        # config exercises (atrous_layers and dcn_layers never overlap).
-        # Error loudly instead of reproducing UB.
-        assert offset.shape == (B, 2 * K2, Ho, Wo), (
-            f'offset {tuple(offset.shape)} != {(B, 2 * K2, Ho, Wo)} — '
-            'atrous DCN offset-map mismatch (reference UB)')
-        # offset channel 2t is dy_t, 2t+1 is dx_t for tap t = i*K+j
-        # (im2col kernel reads them pairwise, dcn_v2_im2col_cuda.cu:170-173)
-        off = offset.view(B, K2, 2, Ho, Wo)
-        ti = (torch.arange(K2) // K).view(1, K2, 1, 1).float()
-        tj = (torch.arange(K2) % K).view(1, K2, 1, 1).float()
-        ys = ((torch.arange(Ho).float() * sh - ph).view(1, 1, Ho, 1)
-              + ti * dh + off[:, :, 0])
-        xs = ((torch.arange(Wo).float() * sw - pw).view(1, 1, 1, Wo)
-              + tj * dw + off[:, :, 1])
-        y0 = torch.floor(ys)
-        x0 = torch.floor(xs)
-        xflat = x.reshape(B, 1, Cin, H * W).expand(B, K2, Cin, H * W)
-        cols = torch.zeros(B, K2, Cin, Ho, Wo, dtype=x.dtype)
-        for ddy, wy in ((0, 1 - (ys - y0)), (1, ys - y0)):
-            for ddx, wx in ((0, 1 - (xs - x0)), (1, xs - x0)):
-                yc = y0.long() + ddy
-                xc = x0.long() + ddx
-                valid = (yc >= 0) & (yc < H) & (xc >= 0) & (xc < W)
-                idx = (yc.clamp(0, H - 1) * W + xc.clamp(0, W - 1))
-                idx = idx.view(B, K2, 1, Ho * Wo).expand(B, K2, Cin, Ho * Wo)
-                v = torch.gather(xflat, 3, idx).view(B, K2, Cin, Ho, Wo)
-                cols = cols + v * (wy * wx * valid.float()).unsqueeze(2)
-        cols = cols * mask.unsqueeze(2)
-        out = torch.einsum('bkcp,ock->bop',
-                           cols.reshape(B, K2, Cin, Ho * Wo),
-                           weight.reshape(Cout, Cin, K2))
-        return out.view(B, Cout, Ho, Wo) + bias.view(1, -1, 1, 1)
+    dcn_v2_conv = ref_dcn_v2_conv
 
     class DCN(nn.Module):
         def __init__(self, in_channels, out_channels, kernel_size, stride,

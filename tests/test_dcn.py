@@ -197,3 +197,51 @@ def test_dcn_offset_conv_zero_initialized(rng):
     # the deformable weight itself must NOT be zero (kaiming)
     assert float(jnp.abs(v['params']['weight']).max()) > 0.0
 
+
+
+def test_dcn_backward_oracle_vs_reference(rng):
+    """grad wrt EVERY input (x, offset, mask, weight) matches torch
+    autograd through the reference-semantics transcription
+    (_refutil.ref_dcn_v2_conv) — pins the custom VJP (block-gather
+    forward + row-formulation backward, kernels/dcn.py) to the reference
+    backward (external/DCNv2/src/cuda/dcn_v2_cuda.cu backward kernels)."""
+    import torch
+    from _refutil import ref_dcn_v2_conv
+
+    B, H, W, Cin, Cout, K = 2, 7, 7, 4, 6, 3
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    # offsets wide enough to exercise OOB corners (zero-weight path)
+    off = (rng.randn(B, H, W, 2 * K * K) * 2.5).astype(np.float32)
+    m = rng.rand(B, H, W, K * K).astype(np.float32)
+    w = (rng.randn(K, K, Cin, Cout) * 0.2).astype(np.float32)
+
+    from yolact_tpu.kernels.dcn import deform_conv2d
+
+    def loss_jax(x_, off_, m_, w_):
+        out = deform_conv2d(jnp.asarray(x_), jnp.asarray(off_),
+                            jnp.asarray(m_), jnp.asarray(w_), None)
+        return 0.5 * jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx, goff, gm, gw = jax.grad(
+        lambda a, b, c, d: loss_jax(a, b, c, d),
+        argnums=(0, 1, 2, 3))(x, off, m, w)
+
+    # torch side: NCHW / [B,2K²,Ho,Wo] / [B,K²,Ho,Wo] / OIHW layouts
+    tx = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)
+    toff = torch.tensor(off.transpose(0, 3, 1, 2), requires_grad=True)
+    tm = torch.tensor(m.transpose(0, 3, 1, 2), requires_grad=True)
+    tw = torch.tensor(w.transpose(3, 2, 0, 1), requires_grad=True)
+    tb = torch.zeros(Cout)
+    out = ref_dcn_v2_conv(tx, toff, tm, tw, tb, stride=1, padding=1)
+    (0.5 * (out ** 2).sum()).backward()
+
+    for got, want, name, tol in (
+            (gx, tx.grad.numpy().transpose(0, 2, 3, 1), 'x', 2e-4),
+            (goff, toff.grad.numpy().transpose(0, 2, 3, 1), 'offset', 2e-3),
+            (gm, tm.grad.numpy().transpose(0, 2, 3, 1), 'mask', 2e-4),
+            (gw, tw.grad.numpy().transpose(2, 3, 1, 0), 'weight', 2e-3)):
+        got = np.asarray(got)
+        scale = max(np.abs(want).max(), 1e-6)
+        np.testing.assert_allclose(
+            got, want, atol=tol * scale, rtol=0,
+            err_msg=f'grad wrt {name} diverges from the reference backward')

@@ -41,6 +41,41 @@ import jax
 import jax.numpy as jnp
 
 
+def _bilinear_gather_rows(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Round-2 formulation: 4 per-corner row gathers via take_along_axis
+    over the flattened H*W map.  Same math as :func:`_bilinear_gather`
+    (oracle-identical; grads agree to f32 noise).
+
+    Kept as the BACKWARD path: its autodiff transpose is a per-batch row
+    scatter that XLA:TPU executes fast (the round-2 code trained
+    yolact_plus at 3.6 it/s through it), whereas the transpose of the
+    flat [2,2,C]-block gather below is a duplicate-index block
+    scatter-add that executes at ~8.5 s/step for the 13-layer plus
+    backward (round-5 measurement, NOTES.md "plus-train crash: root
+    cause") — dtype-insensitive, i.e. per-update-overhead-bound."""
+    B, H, W, C = x.shape
+    x_flat = x.reshape(B, H * W, C)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+    out = 0.
+    for dy, wy in ((0, wy0), (1, wy1)):
+        for dx, wx in ((0, wx0), (1, wx1)):
+            yi = y0.astype(jnp.int32) + dy
+            xi = x0.astype(jnp.int32) + dx
+            valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            g = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
+            w = (wy * wx * valid).astype(x.dtype)
+            out = out + g * w[..., None]
+    return out
+
+
+@jax.custom_vjp
 def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
                      ) -> jnp.ndarray:
     """Zero-padded bilinear sampling.
@@ -103,6 +138,25 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     # multiply-sum keeps XLA from splitting per-corner pipelines
     out = jnp.sum(blocks.reshape(-1, 4, C) * mw[:, :, None], axis=1)
     return out.reshape(B, N, C)
+
+
+def _bilinear_gather_fwd(x, ys, xs):
+    return _bilinear_gather(x, ys, xs), (x, ys, xs)
+
+
+def _bilinear_gather_bwd(res, g):
+    # Route the cotangent through the ROW formulation's autodiff: same
+    # math, but its transpose is the fast per-batch row scatter instead
+    # of the block gather's duplicate-index block scatter-add (which is
+    # per-update-overhead-bound — ~0.65 s/layer at 69², the whole reason
+    # yolact_plus training ran at 0.1 it/s before this).  Costs one
+    # extra row-form forward (tens of ms across all 13 plus layers).
+    x, ys, xs = res
+    _, vjp = jax.vjp(_bilinear_gather_rows, x, ys, xs)
+    return vjp(g)
+
+
+_bilinear_gather.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
 
 
 def deform_conv2d(x: jnp.ndarray,
