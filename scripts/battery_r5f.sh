@@ -25,8 +25,20 @@ assert float(x.sum()) == 8 * 128 * 128
 }
 
 echo "== battery_r5f start $(stamp) ==" | tee -a "$out"
-wait_chip || { echo "GIVING UP $(stamp)" | tee -a "$out"; exit 1; }
 
+# one more clean bf16 bench_train (run1 of battery d2 predates the
+# custom-VJP backward; VERDICT wants >=2 clean runs per dtype)
+wait_chip || { echo "GIVING UP $(stamp)" | tee -a "$out"; exit 1; }
+echo "-- bench_train yolact_plus_resnet50 b8 i20 bfloat16 run3 $(stamp)" \
+  | tee -a "$out"
+BENCH_TRAIN_CONFIG=yolact_plus_resnet50 timeout 1800 \
+  python scripts/bench_train.py 8 20 bfloat16 >>"$out" 2>&1
+echo "exit=$? $(stamp)" | tee -a "$out"
+
+# per-layer A/B with the FIXED probe (grads genuinely consumed): the
+# true backward cost of block vs row transposes, the measurement that
+# justifies the custom VJP
+wait_chip || { echo "GIVING UP $(stamp)" | tee -a "$out"; exit 1; }
 echo "-- probe ab b8 i10 float32 (fixed vjp) $(stamp)" | tee -a "$out"
 timeout 3600 python scripts/probe_dcn_bwd.py ab 8 10 float32 >>"$out" 2>&1
 echo "exit=$? $(stamp)" | tee -a "$out"

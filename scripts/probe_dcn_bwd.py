@@ -132,7 +132,8 @@ def _chained(fn, grad):
 
 def stage_ab(batch, iters, dtype='float32'):
     import jax.numpy as jnp
-    from yolact_tpu.kernels.dcn import deform_conv2d
+    from yolact_tpu.kernels.dcn import (_bilinear_gather_block,
+                                        deform_conv2d)
 
     rng = np.random.RandomState(0)
     dt = jnp.dtype(dtype)
@@ -147,9 +148,23 @@ def stage_ab(batch, iters, dtype='float32'):
         w = jnp.asarray(
             (rng.randn(K, K, C, C) * 0.05).astype(np.float32)).astype(dt)
 
+        # vjp-blockraw = raw autodiff of the block gather (the transpose
+        # production avoids); vjp-custom = the shipped custom VJP
+        # (block fwd + row bwd); vjp-rows = pure row formulation
+        import yolact_tpu.kernels.dcn as _dcn
+
+        def deform_conv2d_blockraw(*a, **k):
+            orig = _dcn._bilinear_gather
+            _dcn._bilinear_gather = _bilinear_gather_block
+            try:
+                return _dcn.deform_conv2d(*a, **k)
+            finally:
+                _dcn._bilinear_gather = orig
+
         for name, impl, grad in (
-                ('fwd-block', deform_conv2d, False),
-                ('vjp-block', deform_conv2d, True),
+                ('fwd-block', deform_conv2d_blockraw, False),
+                ('vjp-blockraw', deform_conv2d_blockraw, True),
+                ('vjp-custom', deform_conv2d, True),
                 ('fwd-rows', deform_conv2d_rows, False),
                 ('vjp-rows', deform_conv2d_rows, True)):
             def f(x, off, m, w, impl=impl):

@@ -75,10 +75,13 @@ def _bilinear_gather_rows(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     return out
 
 
-@jax.custom_vjp
-def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
-                     ) -> jnp.ndarray:
-    """Zero-padded bilinear sampling.
+def _bilinear_gather_block(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Zero-padded bilinear sampling — the block-gather formulation
+    (fastest FORWARD; its raw autodiff transpose is the slow block
+    scatter-add, so production routes grads through the custom VJP in
+    :func:`_bilinear_gather` below.  This raw form stays importable for
+    the A/B probe, scripts/probe_dcn_bwd.py).
 
     x:  [B, H, W, C]
     ys, xs: [B, N] float sample coordinates (pixel space)
@@ -140,8 +143,18 @@ def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     return out.reshape(B, N, C)
 
 
+@jax.custom_vjp
+def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Production bilinear sampler: block-gather forward (fastest
+    measured formulation) with the row-formulation backward (fastest
+    measured transpose) — 25× on the yolact_plus train step
+    (NOTES.md "plus-train crash: root cause (round 5)")."""
+    return _bilinear_gather_block(x, ys, xs)
+
+
 def _bilinear_gather_fwd(x, ys, xs):
-    return _bilinear_gather(x, ys, xs), (x, ys, xs)
+    return _bilinear_gather_block(x, ys, xs), (x, ys, xs)
 
 
 def _bilinear_gather_bwd(res, g):
