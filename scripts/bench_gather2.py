@@ -59,12 +59,13 @@ def main():
     x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
 
     # DCN-like sample coordinates: sample (p, t) starts at the conv tap
-    # grid and is perturbed per offset mode.  The XLA gather turned out to
-    # be ~100x locality-sensitive (sequential ~11 ns/sample in the model
-    # trace vs ~1.1 us/sample for uniform-random coords), so the offset
-    # DISTRIBUTION is the whole benchmark: zero-init bench weights measure
-    # the best case, trained offsets are small (|off| ~ 1-2 px) and
-    # spatially smooth (they come from a 3x3 conv of the features).
+    # grid and is perturbed per offset mode.  ROUND-5 RESULT
+    # (results/gather_r5.txt, compiled with the fixed warmup): the
+    # distribution barely matters — random 16.7 / iid 17.1 / smooth 19.4
+    # ns/sample, and all-ZERO offsets are the SLOWEST case (63.3).  The
+    # earlier "~100x locality-sensitive" reading came from the invalid
+    # r4a numbers (fresh compile inside every timed call) and is
+    # retracted; the sweep is kept because it documents that fact.
     kh = np.arange(3) - 1
     base_y = (np.arange(H)[:, None, None, None] + kh[None, None, :, None])
     base_x = (np.arange(W)[None, :, None, None] + kh[None, None, None, :])
