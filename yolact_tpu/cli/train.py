@@ -65,6 +65,12 @@ def parse_args(argv=None):
                    help='space-to-depth stem during training (ResNet '
                         'configs; same math, avoids the 3-channel '
                         'lane-padding tax on the 550x550 input)')
+    p.add_argument('--train_remat', default=None,
+                   choices=('none', 'dcn', 'all'),
+                   help='backbone bottleneck rematerialization policy '
+                        'for the backward pass (default: config value, '
+                        "'dcn' — checkpoint DCN blocks; see "
+                        'config.train_remat for the HBM numbers)')
     p.add_argument('--spatial_split', default=1, type=int,
                    help='shard the image-height dim across this many '
                         'devices (2-D data x space mesh; XLA inserts conv '
@@ -123,6 +129,8 @@ def train(argv=None):
         overrides['use_device_augment'] = True
     if args.stem_s2d:
         overrides['stem_s2d'] = True
+    if args.train_remat is not None:
+        overrides['train_remat'] = args.train_remat
     if overrides:
         cfg = cfg.copy(**overrides)
 
