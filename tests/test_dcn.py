@@ -245,3 +245,37 @@ def test_dcn_backward_oracle_vs_reference(rng):
         np.testing.assert_allclose(
             got, want, atol=tol * scale, rtol=0,
             err_msg=f'grad wrt {name} diverges from the reference backward')
+
+
+def test_dcn_backward_avoids_block_scatter(rng):
+    """Regression guard for the round-5 25x fix: the production
+    _bilinear_gather's grad must lower through the row-formulation
+    transpose (per-batch row scatters), NOT the raw block gather's
+    duplicate-index [2,2,C]-block scatter-add, which XLA:TPU executes
+    serially (~1.37 s for ONE 69² layer — NOTES.md round-5 table)."""
+    import re
+    from yolact_tpu.kernels.dcn import (_bilinear_gather,
+                                        _bilinear_gather_block)
+    B, H, W, C, N = 1, 6, 6, 8, 10
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    ys = jnp.asarray(rng.rand(B, N) * H, jnp.float32)
+    xs = jnp.asarray(rng.rand(B, N) * W, jnp.float32)
+
+    def lowered(fn):
+        g = jax.grad(lambda x: jnp.sum(fn(x, ys, xs).astype(jnp.float32)
+                                       ** 2))
+        return jax.jit(g).lower(x).as_text()
+
+    # the block transpose scatters [2,2,C] windows per flat sample:
+    # update_window_dims = [1, 2, 3] with inserted_window_dims = [0];
+    # the row transpose is a batch-windowed ROW scatter:
+    # update_window_dims = [0, 2] (verified on both lowerings)
+    pat = re.compile(r'scatter.*update_window_dims = \[1, 2, 3\]')
+
+    def block_scatter_lines(text):
+        return [ln for ln in text.splitlines() if pat.search(ln)]
+
+    assert block_scatter_lines(lowered(_bilinear_gather_block)), \
+        'control failed: the raw block grad no longer lowers to a block scatter'
+    assert not block_scatter_lines(lowered(_bilinear_gather)), \
+        'custom VJP regressed: production grad lowers to the serial block scatter'
