@@ -75,8 +75,8 @@ def _bilinear_gather_rows(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     return out
 
 
-def _bilinear_gather_block(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
-                           ) -> jnp.ndarray:
+def _bilinear_gather_block(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                           return_blocks: bool = False):
     """Zero-padded bilinear sampling — the block-gather formulation
     (fastest FORWARD; its raw autodiff transpose is the slow block
     scatter-add, so production routes grads through the custom VJP in
@@ -140,33 +140,104 @@ def _bilinear_gather_block(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     # [B*N, 4, C] view of the block tensor is a bitcast, and the one
     # multiply-sum keeps XLA from splitting per-corner pipelines
     out = jnp.sum(blocks.reshape(-1, 4, C) * mw[:, :, None], axis=1)
-    return out.reshape(B, N, C)
+    out = out.reshape(B, N, C)
+    if return_blocks:
+        return out, blocks
+    return out
 
 
 @jax.custom_vjp
 def _bilinear_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
                      ) -> jnp.ndarray:
     """Production bilinear sampler: block-gather forward (fastest
-    measured formulation) with the row-formulation backward (fastest
-    measured transpose) — 25× on the yolact_plus train step
+    measured formulation) with a hand-written backward whose grad_x is
+    the row-scatter transpose (fastest measured) and whose coordinate
+    grads reuse the forward's corner blocks as a residual — 25× on the
+    yolact_plus train step vs raw autodiff of the block gather
     (NOTES.md "plus-train crash: root cause (round 5)")."""
     return _bilinear_gather_block(x, ys, xs)
 
 
 def _bilinear_gather_fwd(x, ys, xs):
-    return _bilinear_gather_block(x, ys, xs), (x, ys, xs)
+    out, blocks = _bilinear_gather_block(x, ys, xs, return_blocks=True)
+    # blocks ([B*N,2,2,C]) rides along as a residual: under the default
+    # cfg.train_remat='dcn' the bottleneck forward is replayed at
+    # backward time anyway, so this costs no HBM and saves the backward
+    # a re-gather; with remat off it trades ~4x the layer activation in
+    # HBM for that re-gather.
+    return out, (x, ys, xs, blocks)
 
 
 def _bilinear_gather_bwd(res, g):
-    # Route the cotangent through the ROW formulation's autodiff: same
-    # math, but its transpose is the fast per-batch row scatter instead
-    # of the block gather's duplicate-index block scatter-add (which is
-    # per-update-overhead-bound — ~0.65 s/layer at 69², the whole reason
-    # yolact_plus training ran at 0.1 it/s before this).  Costs one
-    # extra row-form forward (tens of ms across all 13 plus layers).
-    x, ys, xs = res
-    _, vjp = jax.vjp(_bilinear_gather_rows, x, ys, xs)
-    return vjp(g)
+    """Hand-written transpose.  Three pieces, each in its fastest form:
+
+      grad_x   4 per-corner ROW scatters (the take_along_axis transpose
+               — per-batch row scatter-add, ~14 ns/update measured) via
+               jax.vjp of the linear gather, so XLA forms exactly the
+               scatter it forms for the row formulation.  The block
+               gather's own transpose (duplicate-index [2,2,C] block
+               scatter-add) runs ~4 µs/update — 34× slower per layer
+               (results/plus_train_r5f.txt).
+      grad_ys/ grad_xs   elementwise from the saved corner blocks
+               (d w_c/d coord; floor contributes zero).
+      weights  corner weights recomputed from (ys, xs) — cheap VPU math.
+    """
+    x, ys, xs, blocks = res
+    B, H, W, C = x.shape
+    N = ys.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def valid(dy, dx):
+        return ((y0i + dy >= 0) & (y0i + dy < H) &
+                (x0i + dx >= 0) & (x0i + dx < W))
+
+    v00, v01, v10, v11 = (valid(0, 0), valid(0, 1),
+                          valid(1, 0), valid(1, 1))
+
+    # corner values [B, N, 4, C], row-major corner order like the fwd
+    vals = blocks.reshape(B, N, 4, C)
+    # gv_c = <g, corner_c> over C, f32 accumulation           [B, N, 4]
+    gv = jnp.sum(g[:, :, None, :].astype(jnp.float32) *
+                 vals.astype(jnp.float32), axis=-1)
+
+    f32 = jnp.float32
+    grad_ys = (gv[..., 0] * (-(wx0 * v00)).astype(f32) +
+               gv[..., 1] * (-(wx1 * v01)).astype(f32) +
+               gv[..., 2] * (wx0 * v10).astype(f32) +
+               gv[..., 3] * (wx1 * v11).astype(f32)).astype(ys.dtype)
+    grad_xs = (gv[..., 0] * (-(wy0 * v00)).astype(f32) +
+               gv[..., 1] * (wy0 * v01).astype(f32) +
+               gv[..., 2] * (-(wy1 * v10)).astype(f32) +
+               gv[..., 3] * (wy1 * v11).astype(f32)).astype(xs.dtype)
+
+    # grad_x: per-corner row scatter-add over the flattened H*W map —
+    # jax.vjp of the (linear) gather yields the pure transpose; the
+    # unused forward gathers are dead code under jit
+    idx = []
+    cot = []
+    for dy, dx, w, vd in ((0, 0, wy0 * wx0, v00), (0, 1, wy0 * wx1, v01),
+                          (1, 0, wy1 * wx0, v10), (1, 1, wy1 * wx1, v11)):
+        yi = jnp.clip(y0i + dy, 0, H - 1)
+        xi = jnp.clip(x0i + dx, 0, W - 1)
+        idx.append(yi * W + xi)
+        cot.append(g * (w * vd).astype(g.dtype)[..., None])
+
+    x_flat = x.reshape(B, H * W, C)
+
+    def gather4(xf):
+        return tuple(jnp.take_along_axis(xf, i[..., None], axis=1)
+                     for i in idx)
+
+    _, vjp4 = jax.vjp(gather4, x_flat)
+    (gx_flat,) = vjp4(tuple(cot))
+    return gx_flat.reshape(B, H, W, C), grad_ys, grad_xs
 
 
 _bilinear_gather.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
