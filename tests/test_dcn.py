@@ -279,3 +279,26 @@ def test_dcn_backward_avoids_block_scatter(rng):
         'control failed: the raw block grad no longer lowers to a block scatter'
     assert not block_scatter_lines(lowered(_bilinear_gather)), \
         'custom VJP regressed: production grad lowers to the serial block scatter'
+
+
+def test_dcn_custom_vjp_matches_rows_autodiff(rng):
+    """The hand-written custom VJP must agree with plain autodiff of the
+    row formulation for EVERY cotangent path (x, ys, xs) — the in-repo
+    cross-check next to the torch reference oracle."""
+    from yolact_tpu.kernels.dcn import (_bilinear_gather,
+                                        _bilinear_gather_rows)
+    B, H, W, C, N = 2, 7, 5, 8, 20
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    # coordinates spanning in-bounds, fractional, and far-OOB
+    ys = jnp.asarray(rng.randn(B, N) * 4.0 + 2.0, jnp.float32)
+    xs = jnp.asarray(rng.randn(B, N) * 4.0 + 2.0, jnp.float32)
+    g = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+
+    out_c, vjp_c = jax.vjp(_bilinear_gather, x, ys, xs)
+    out_r, vjp_r = jax.vjp(_bilinear_gather_rows, x, ys, xs)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               atol=1e-5)
+    for got, want, name in zip(vjp_c(g), vjp_r(g), ('x', 'ys', 'xs')):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4,
+            err_msg=f'custom VJP grad wrt {name} diverges from rows autodiff')

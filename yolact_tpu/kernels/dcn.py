@@ -23,8 +23,16 @@ gather + GEMM).  Formulation (third iteration, trace-driven — see PERF.md
      feeds it (the batched ``bpc,co->bpo`` einsum form made XLA pick a
      {2,0,1} lhs layout and physically relayout the im2col tensor).
 
-Differentiable (autodiff through the gather -> scatter-add), used for both
-training and inference.
+Differentiable via a hand-written custom VJP (round 5): the block
+gather's raw autodiff transpose is a duplicate-index [2,2,C] block
+scatter-add that XLA:TPU executes serially (~4 µs/update — 1.37 s for
+ONE 69² layer, results/plus_train_r5f.txt), so the backward instead
+scatters per-corner ROWS (the take_along_axis transpose, ~14 ns/update)
+and reuses the forward's corner blocks as a residual for the coordinate
+grads.  25–35× on the yolact_plus train step; grads oracle-pinned to
+torch autodiff through the reference-semantics transcription
+(tests/test_dcn.py::test_dcn_backward_oracle_vs_reference).  Used for
+both training and inference.
 
 Offset/mask channel layout matches the CUDA kernel
 (``dcn_v2_im2col_cuda.cu:125-180``): for tap t (row-major over the K x K
@@ -47,13 +55,10 @@ def _bilinear_gather_rows(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     over the flattened H*W map.  Same math as :func:`_bilinear_gather`
     (oracle-identical; grads agree to f32 noise).
 
-    Kept as the BACKWARD path: its autodiff transpose is a per-batch row
-    scatter that XLA:TPU executes fast (the round-2 code trained
-    yolact_plus at 3.6 it/s through it), whereas the transpose of the
-    flat [2,2,C]-block gather below is a duplicate-index block
-    scatter-add that executes at ~8.5 s/step for the 13-layer plus
-    backward (round-5 measurement, NOTES.md "plus-train crash: root
-    cause") — dtype-insensitive, i.e. per-update-overhead-bound."""
+    Kept as the autodiff REFERENCE for the hand-written backward below
+    (its transpose is the fast per-batch row scatter the custom VJP
+    reproduces — test_dcn.py cross-validates the two) and for the
+    formulation A/B in scripts/probe_dcn_bwd.py."""
     B, H, W, C = x.shape
     x_flat = x.reshape(B, H * W, C)
     y0 = jnp.floor(ys)
