@@ -39,64 +39,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import yolact_tpu.utils.jax_setup  # noqa: E402,F401
 
 
-# ---------------------------------------------------------------- round-2
-# row-gather bilinear sampler (verbatim math of the pre-rework form, git
-# 2233b78): 4 per-corner take_along_axis row gathers over flattened H*W.
-# Its transpose is a per-batch row scatter — the form that trained at
-# 3.6 it/s in the round-2 probe.
-def _bilinear_gather_rows(x, ys, xs):
-    import jax.numpy as jnp
-    B, H, W, C = x.shape
-    x_flat = x.reshape(B, H * W, C)
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy1 = ys - y0
-    wx1 = xs - x0
-    wy0 = 1.0 - wy1
-    wx0 = 1.0 - wx1
-    out = 0.
-    for dy, wy in ((0, wy0), (1, wy1)):
-        for dx, wx in ((0, wx0), (1, wx1)):
-            yi = y0.astype(jnp.int32) + dy
-            xi = x0.astype(jnp.int32) + dx
-            valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
-            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-            g = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
-            w = (wy * wx * valid).astype(x.dtype)
-            out = out + g * w[..., None]
-    return out
-
-
+# The row-gather sampler lives in production code
+# (yolact_tpu.kernels.dcn._bilinear_gather_rows — kept there as the
+# autodiff reference for the hand-written custom VJP); the probe builds
+# its formulation variants through deform_conv2d's gather_impl parameter
+# instead of carrying copies.
 def deform_conv2d_rows(x, offset, mask, weight, bias=None,
                        stride=1, padding=1, dilation=1):
     """deform_conv2d with the round-2 row-gather core (probe-only)."""
-    import jax
-    import jax.numpy as jnp
-    B, H, W, Cin = x.shape
-    K = weight.shape[0]
-    Ho = (H + 2 * padding - dilation * (K - 1) - 1) // stride + 1
-    Wo = (W + 2 * padding - dilation * (K - 1) - 1) // stride + 1
-    hs = jnp.arange(Ho, dtype=x.dtype) * stride - padding
-    ws = jnp.arange(Wo, dtype=x.dtype) * stride - padding
-    kh = jnp.arange(K, dtype=x.dtype) * dilation
-    base_y = hs[:, None, None, None] + kh[None, None, :, None]
-    base_x = ws[None, :, None, None] + kh[None, None, None, :]
-    base_y = jnp.broadcast_to(base_y, (Ho, Wo, K, K)).reshape(1, Ho, Wo, K * K)
-    base_x = jnp.broadcast_to(base_x, (Ho, Wo, K, K)).reshape(1, Ho, Wo, K * K)
-    off = offset.reshape(B, Ho, Wo, K * K, 2)
-    ys = (base_y + off[..., 0]).reshape(B, Ho * Wo * K * K)
-    xs = (base_x + off[..., 1]).reshape(B, Ho * Wo * K * K)
-    cols = _bilinear_gather_rows(x, ys, xs)
-    cols = (cols.reshape(B, Ho * Wo, K * K, Cin) *
-            mask.reshape(B, Ho * Wo, K * K, 1).astype(cols.dtype))
-    w = weight.reshape(K * K * Cin, -1)
-    out = jax.lax.dot_general(
-        cols.reshape(B * Ho * Wo, K * K * Cin), w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out.reshape(B, Ho, Wo, -1)
+    from yolact_tpu.kernels.dcn import _bilinear_gather_rows, deform_conv2d
+    return deform_conv2d(x, offset, mask, weight, bias, stride, padding,
+                         dilation, gather_impl=_bilinear_gather_rows)
 
 
 def _chained(fn, grad):
@@ -151,15 +104,9 @@ def stage_ab(batch, iters, dtype='float32'):
         # vjp-blockraw = raw autodiff of the block gather (the transpose
         # production avoids); vjp-custom = the shipped custom VJP
         # (block fwd + row bwd); vjp-rows = pure row formulation
-        import yolact_tpu.kernels.dcn as _dcn
-
         def deform_conv2d_blockraw(*a, **k):
-            orig = _dcn._bilinear_gather
-            _dcn._bilinear_gather = _bilinear_gather_block
-            try:
-                return _dcn.deform_conv2d(*a, **k)
-            finally:
-                _dcn._bilinear_gather = orig
+            return deform_conv2d(*a, gather_impl=_bilinear_gather_block,
+                                 **k)
 
         for name, impl, grad in (
                 ('fwd-block', deform_conv2d_blockraw, False),

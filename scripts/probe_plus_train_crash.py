@@ -3,6 +3,13 @@ yolact_plus TRAIN path (seen twice: results/remeasure_r3.txt and
 results/plus_train_r4.txt, both mid-execution of the jitted plus train
 step — compile succeeded, execution killed the worker).
 
+HISTORICAL TOOL — the fault is FIXED (round 5): it was the block
+gather's serial scatter transpose making dispatches outlast the relay
+watchdog, resolved by the custom VJP in kernels/dcn.py.  These stages
+now exercise the FIXED backward, so they no longer reproduce the crash
+(that is the point); NOTES.md "plus-train crash: root cause (round 5)"
+has the full story and probe_dcn_bwd.py is the live successor.
+
 Stages (argv[1]):
   dcn       single deform_conv2d value_and_grad, chained on-chip loop,
             at each real plus_resnet50 stage shape (prime suspect: the

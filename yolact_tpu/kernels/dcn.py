@@ -255,7 +255,8 @@ def deform_conv2d(x: jnp.ndarray,
                   bias: Optional[jnp.ndarray] = None,
                   stride: int = 1,
                   padding: int = 1,
-                  dilation: int = 1) -> jnp.ndarray:
+                  dilation: int = 1,
+                  gather_impl=None) -> jnp.ndarray:
     """Modulated deformable conv (DCNv2) forward.
 
     Args:
@@ -264,6 +265,10 @@ def deform_conv2d(x: jnp.ndarray,
       mask:   [B, Ho, Wo, K*K]    modulation after sigmoid
       weight: [K, K, Cin, Cout]   HWIO
       bias:   [Cout] or None
+      gather_impl: bilinear sampler override for formulation A/B probes
+        (scripts/probe_dcn_bwd.py passes _bilinear_gather_block or
+        _bilinear_gather_rows); production leaves it None =
+        _bilinear_gather (custom VJP).
     Returns [B, Ho, Wo, Cout].
     """
     B, H, W, Cin = x.shape
@@ -285,7 +290,8 @@ def deform_conv2d(x: jnp.ndarray,
     ys = (base_y + off[..., 0]).reshape(B, Ho * Wo * K * K)
     xs = (base_x + off[..., 1]).reshape(B, Ho * Wo * K * K)
 
-    cols = _bilinear_gather(x, ys, xs)                # [B, Ho*Wo*K*K, Cin]
+    sampler = gather_impl or _bilinear_gather
+    cols = sampler(x, ys, xs)                         # [B, Ho*Wo*K*K, Cin]
     # sigmoid-mask modulation stays in lane-land ([B, P, K*K] broadcast
     # over C) — folding it into the corner weights would need a
     # lanes->rows transpose of the mask (the pathological relayout the
